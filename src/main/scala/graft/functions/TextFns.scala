@@ -1,0 +1,240 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** Pure-Scala text primitives shared by executors (inside UDFs / typed maps)
+  * and the driver-side test oracles. Everything here is deterministic and
+  * allocation-conscious — these run per-token at 10^12-doc scale.
+  *
+  * Matching-normalization mirrors the whitespace/`-`/`/`-tolerant pattern of
+  * the reference gazetteer matcher (`1st Place/src/mimic_common.py:53-71`):
+  * instead of compiling one regex per dictionary term and scanning every doc
+  * with it (O(dict × corpus)), we normalize BOTH sides to a canonical token
+  * string and equi-join — the Spark-first form of the same semantics.
+  */
+object TextFns {
+
+  /** Canonical form used for dictionary keys, blocking and scoring:
+    * lowercase, every non-alphanumeric char acts as a separator
+    * (covers the reference's `\s+` / `[- ]` / `[/ ]` tolerance),
+    * tokens joined by a single space. */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevSpace = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) {
+        sb.append(Character.toLowerCase(c)); prevSpace = false
+      } else if (!prevSpace) { sb.append(' '); prevSpace = true }
+      i += 1
+    }
+    var n = sb.length
+    if (n > 0 && sb.charAt(n - 1) == ' ') n -= 1
+    sb.substring(0, n)
+  }
+
+  /** Token = maximal run of letters/digits. Returns (token, start, end)
+    * with [start,end) offsets into the ORIGINAL string; tokens lowercased.
+    * Boundary guard of the reference (`text[i-1].isalnum()` check at
+    * `1st Place/src/mimic_common.py:141`) holds by construction. */
+  def tokensWithOffsets(text: String): IndexedSeq[(String, Int, Int)] = {
+    val out = IndexedSeq.newBuilder[(String, Int, Int)]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (Character.isLetterOrDigit(text.charAt(i))) {
+        val st = i
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
+        out += ((text.substring(st, i).toLowerCase, st, i))
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Character n-grams; a string shorter than n emits itself as one gram. */
+  def charNgrams(s: String, n: Int): Array[String] =
+    if (s.length < n) Array(s)
+    else Array.tabulate(s.length - n + 1)(i => s.substring(i, i + n))
+
+  /** Deterministic 64-bit hash (two murmur3 32-bit rounds, public algo). */
+  def hash64(s: String, seed: Int): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** MinHash signature over char n-grams: k independent hash seeds, min per
+    * seed. Permutation-free variant (one hash per seed) — standard practice. */
+  def minHashSignature(s: String, k: Int, ngram: Int = 3): Array[Long] = {
+    val grams = charNgrams(s, ngram)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var g = 0
+    while (g < grams.length) {
+      val base1 = MurmurHash3.stringHash(grams(g), 0x9747b28c)
+      val base2 = MurmurHash3.stringHash(grams(g), 0x85ebca6b)
+      var i = 0
+      while (i < k) {
+        // h_i(x) = base1 + i*base2 (Kirsch–Mitzenmacher double hashing)
+        val h = base1.toLong * 0xff51afd7ed558ccdL + i.toLong * base2.toLong
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      g += 1
+    }
+    sig
+  }
+
+  /** LSH band keys from a MinHash signature: bands of `rowsPerBand` rows,
+    * each band hashed to one string key "mh:<band>:<hash>". */
+  def bandKeys(sig: Array[Long], rowsPerBand: Int): Array[String] = {
+    val bands = sig.length / rowsPerBand
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rowsPerBand) {
+        h ^= sig(b * rowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      s"mh:$b:$h"
+    }
+  }
+
+  /** SimHash over char n-grams: 64-bit sketch whose Hamming distance tracks
+    * cosine similarity of the n-gram bags. */
+  def simHash64(s: String, ngram: Int = 3): Long = {
+    val grams = charNgrams(s, ngram)
+    val acc = new Array[Int](64)
+    var g = 0
+    while (g < grams.length) {
+      val h = hash64(grams(g), 0x2545f491)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      g += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deterministic feature-hashed char-3-gram embedding, L2-normalized.
+    * Stands in for the reference's SapBERT embeddings
+    * (`2nd Place/src/embeds.py:50-72`) — no external models in this rebuild. */
+  def hashedEmbedding(s: String, dim: Int = 64): Array[Float] = {
+    val grams = charNgrams(normalize(s), 3)
+    val v = new Array[Float](dim)
+    var g = 0
+    while (g < grams.length) {
+      val h = MurmurHash3.stringHash(grams(g), 0x1b873593)
+      val idx = math.floorMod(h, dim)
+      val sign = if (((h >>> 31) & 1) == 1) 1f else -1f
+      v(idx) += sign
+      g += 1
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < dim) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Jaro similarity (standard public definition). */
+  def jaro(s1: String, s2: String): Double = {
+    if (s1.isEmpty && s2.isEmpty) return 1.0
+    if (s1.isEmpty || s2.isEmpty) return 0.0
+    if (s1 == s2) return 1.0
+    val maxDist = math.max(s1.length, s2.length) / 2 - 1
+    val m1 = new Array[Boolean](s1.length)
+    val m2 = new Array[Boolean](s2.length)
+    var matches = 0
+    var i = 0
+    while (i < s1.length) {
+      val lo = math.max(0, i - maxDist)
+      val hi = math.min(s2.length - 1, i + maxDist)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < s1.length) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / s1.length + m / s2.length + (m - t / 2) / m) / 3.0
+  }
+
+  /** Jaro–Winkler: prefix boost (scale 0.1, max prefix 4), standard form. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    var l = 0
+    val maxPrefix = math.min(4, math.min(s1.length, s2.length))
+    while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Levenshtein distance (reference fuses it via the built-in Spark
+    * `levenshtein`; this pure form serves the driver-side oracle). */
+  def levenshtein(s1: String, s2: String): Int = {
+    if (s1 == s2) return 0
+    val n = s2.length
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= s1.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+
+  /** Rolling polynomial hash fingerprint of a document (mod-free 64-bit). */
+  def fingerprint64(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** One driver-verifiable query: a Spark implementation plus (optionally) an
+  * equivalent DuckDB SQL oracle over the same parquet tables. Column names
+  * must agree exactly between the two (driver sorts columns by name before
+  * hashing values). */
+case class QueryDef(name: String,
+                    fn: (SparkSession, String) => DataFrame,
+                    oracle: Option[String])
+
+/** Core relational operator coverage (SURVEY.md §2.2–§2.7) exercised on the
+  * driver's TPC-H-ish tables. Each query maps to reference semantics noted
+  * in its comment; numeric outputs are integer-exact or rounded so the
+  * Spark/DuckDB comparison is deterministic.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A-class aggregation (SURVEY §2.4 A3/A12 analog): group-agg with
+    // map-side partial aggregation; money sums rounded for cross-engine parity.
+    QueryDef("q01_agg_sum",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"),
+          round(avg(col("l_discount")), 4).as("avg_disc")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_price,
+             |count(*) AS n,
+             |round(avg(l_discount), 4) AS avg_disc
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // J1-style chained equi-joins (orders ⋈ customer ⋈ nation), small dims
+    // broadcast by Catalyst/AQE automatically.
+    QueryDef("q02_join_agg",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price")),
+      Some("""SELECT n_name, count(*) AS n_orders,
+             |round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // W2 top-k per group: row_number window with fully deterministic ordering.
+    QueryDef("q03_topk_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rnk FROM (
+             |SELECT o_custkey, o_orderkey,
+             |row_number() OVER (PARTITION BY o_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+             |FROM orders) WHERE rnk <= 2""".stripMargin)),
+
+    // J9 semi-join: customers that have at least one order.
+    QueryDef("q04_semijoin",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust")),
+      Some("""SELECT c_mktsegment, count(*) AS n_cust FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // J10 anti-join: customers with no orders.
+    QueryDef("q05_antijoin",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)),
+
+    // A8 distinct.
+    QueryDef("q06_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // U1 union + dedup (reference concatenates prediction sources,
+    // `1st Place/src/mimic_predict.py:43-49`).
+    QueryDef("q07_union",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+          .distinct()
+      },
+      Some("""SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+             |UNION
+             |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
+    // A1 per-key mode with the engine's pinned deterministic tie-break
+    // (count desc, value asc) — reference `most_common(1)` semantics
+    // (`1st Place/src/mimic_train.py:60-61`).
+    QueryDef("q08_mode",
+      (s, dir) => {
+        val counted = t(s, dir, "lineitem")
+          .groupBy("l_partkey", "l_returnflag").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("cnt").desc, col("l_returnflag").asc)
+        counted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_partkey"), col("l_returnflag").as("mode_flag"), col("cnt"))
+      },
+      Some("""SELECT l_partkey, mode_flag, cnt FROM (
+             |SELECT l_partkey, l_returnflag AS mode_flag, count(*) AS cnt,
+             |row_number() OVER (PARTITION BY l_partkey
+             |  ORDER BY count(*) DESC, l_returnflag ASC) AS rn
+             |FROM lineitem GROUP BY l_partkey, l_returnflag) WHERE rn = 1""".stripMargin)),
+
+    // A3 word-frequency counter over the documents corpus
+    // (`1st Place/src/process_data.py:429-443`).
+    QueryDef("q09_wordcount",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(100),
+      Some("""SELECT word, count(*) AS cnt FROM (
+             |SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             |FROM documents) WHERE word <> ''
+             |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin)),
+
+    // F1/F2/F11-class scalar string functions.
+    QueryDef("q10_strings",
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("n_spaces"),
+          substring(lower(col("text")), 1, 20).as("prefix20"),
+          upper(col("lang")).as("lang_uc")),
+      Some("""SELECT doc_id, length(text) AS len,
+             |length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             |substr(lower(text), 1, 20) AS prefix20,
+             |upper(lang) AS lang_uc FROM documents""".stripMargin)),
+
+    // J13 interval-overlap join semantics on integer-derived intervals
+    // (the reference drops static-dict spans overlapping model spans,
+    // `2nd Place/submission/static_dict.py:56-77`).
+    QueryDef("q11_interval_overlap",
+      (s, dir) => {
+        val iv = t(s, dir, "orders").select(
+          col("o_orderkey").as("k"),
+          (col("o_orderkey") % 1000).as("s"),
+          (col("o_orderkey") % 1000 + 1 + col("o_custkey") % 50).as("e"),
+          (col("o_orderkey") % 200).as("grp"))
+        val a = iv.alias("a"); val b = iv.alias("b")
+        a.join(b, col("a.grp") === col("b.grp") && col("a.k") < col("b.k") &&
+            greatest(col("a.s"), col("b.s")) < least(col("a.e"), col("b.e")))
+          .groupBy(col("a.grp").as("grp"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s"))).as("overlap_len"))
+      },
+      Some("""WITH iv AS (SELECT o_orderkey AS k, o_orderkey % 1000 AS s,
+             |o_orderkey % 1000 + 1 + o_custkey % 50 AS e, o_orderkey % 200 AS grp FROM orders)
+             |SELECT a.grp AS grp, count(*) AS n_pairs,
+             |CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS overlap_len
+             |FROM iv a JOIN iv b ON a.grp = b.grp AND a.k < b.k
+             |AND greatest(a.s, b.s) < least(a.e, b.e)
+             |GROUP BY a.grp""".stripMargin)),
+
+    // W3 lag window (prev/next annotation context,
+    // `1st Place/src/mimic_postprocess_attributes.py:20-41`).
+    QueryDef("q12_lag_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |lag(event_id, 1) OVER (PARTITION BY user_id
+             |  ORDER BY ts ASC, event_id ASC) AS prev_event_id
+             |FROM events""".stripMargin)),
+
+    // A6 'default' roll-up analog (`3rd Place/faiss_db_preparation.py:124-144`).
+    QueryDef("q13_rollup",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // U2-class set operation (INTERSECT with set semantics).
+    QueryDef("q14_intersect",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    // Exact dedup: md5 content hash, canonical = min doc_id per hash
+    // (hash-groupBy dedup over the documents table).
+    QueryDef("q15_dedup_exact",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+        val w = Window.partitionBy(col("h"))
+        d.select(col("doc_id"), col("h"),
+            min(col("doc_id")).over(w).as("canonical_id"),
+            count(lit(1)).over(w).as("group_size"))
+      },
+      Some("""SELECT doc_id, md5(text) AS h,
+             |min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             |count(*) OVER (PARTITION BY md5(text)) AS group_size
+             |FROM documents""".stripMargin)),
+
+    // Token counting (whitespace tokens) — text-analysis op.
+    QueryDef("q16_token_stats",
+      (s, dir) => t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(col("text")).as("len"),
+          (col("n_chars") === length(col("text"))).as("len_ok")),
+      Some("""SELECT doc_id,
+             |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |length(text) AS len,
+             |n_chars = length(text) AS len_ok
+             |FROM documents WHERE length(text) > 0""".stripMargin)),
+
+    // Quality scoring: linear combination of deterministic ratios.
+    QueryDef("q17_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+        val len = length(col("text")).cast("double")
+        val spaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
+        val digits = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+        val uppers = length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
+        d.select(col("doc_id"),
+          round(spaces / len, 4).as("space_ratio"),
+          round(digits / len, 4).as("digit_ratio"),
+          round(uppers / len, 4).as("upper_ratio"),
+          round(lit(1.0) - digits / len - uppers / len, 4).as("quality"))
+      },
+      Some("""SELECT doc_id,
+             |round((length(text) - length(replace(text,' ',''))) / CAST(length(text) AS DOUBLE), 4) AS space_ratio,
+             |round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+             |round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS upper_ratio,
+             |round(1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)
+             |  - length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS quality
+             |FROM documents WHERE length(text) > 0""".stripMargin)),
+
+    // Multi-hop join chain: distinct suppliers per customer.
+    QueryDef("q18_multihop",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp")),
+      Some("""SELECT c_custkey, count(DISTINCT l_suppkey) AS n_supp
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // Pairwise-scoring feature parity: Levenshtein distance (built-in both
+    // engines; a north-rule scoring feature).
+    QueryDef("q20_levenshtein",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+          (col("p_partkey") % 100).as("bkt"))
+        val a = p.alias("a"); val b = p.alias("b")
+        a.join(b, col("a.bkt") === col("b.bkt") && col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
+      },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+             |levenshtein(a.p_name, b.p_name) AS lev
+             |FROM part a JOIN part b
+             |ON a.p_partkey % 100 = b.p_partkey % 100 AND a.p_partkey < b.p_partkey""".stripMargin))
+  )
+}
