@@ -69,14 +69,17 @@ object TextFns {
   def minHashSignature(s: String, k: Int, ngram: Int = 3): Array[Long] = {
     val grams = charNgrams(s, ngram)
     val sig = Array.fill(k)(Long.MaxValue)
+    val mul = seedMultipliers(k)
     var g = 0
     while (g < grams.length) {
-      val base1 = MurmurHash3.stringHash(grams(g), 0x9747b28c)
-      val base2 = MurmurHash3.stringHash(grams(g), 0x85ebca6b)
+      val base1 = MurmurHash3.stringHash(grams(g), 0x9747b28c).toLong
+      val base2 = MurmurHash3.stringHash(grams(g), 0x85ebca6b).toLong | 1L
       var i = 0
       while (i < k) {
-        // h_i(x) = base1 + i*base2 (Kirsch–Mitzenmacher double hashing)
-        val h = base1.toLong * 0xff51afd7ed558ccdL + i.toLong * base2.toLong
+        // h_i(x) = a_i*h1(x) + b_i-style double hashing with FULL-RANGE
+        // per-seed multipliers, so each seed induces an independent ordering
+        // of the gram universe (a small i*h2 term would not reorder 64 bits).
+        val h = mul(2 * i) * base1 + mul(2 * i + 1) * base2
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -84,6 +87,16 @@ object TextFns {
     }
     sig
   }
+
+  private val seedMulCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedMultipliers(k: Int): Array[Long] =
+    seedMulCache.computeIfAbsent(k, _ => Array.tabulate(2 * k) { i =>
+      // splitmix64 of the seed index, forced odd (bijective multiplier mod 2^64)
+      var z = i.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) | 1L
+    })
 
   /** LSH band keys from a MinHash signature: bands of `rowsPerBand` rows,
     * each band hashed to one string key "mh:<band>:<hash>". */

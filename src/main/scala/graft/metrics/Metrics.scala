@@ -1,0 +1,72 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation queries — SURVEY.md §2.12.
+  *
+  * M1 macro char IoU: the reference paints each char of each note with its
+  * concept into sparse doc×char matrices and takes per-concept IoU
+  * (`1st Place/src/scoring.py:10-47`). Both prediction and ground truth are
+  * non-overlapping intervals per note (invariant checked at
+  * `1st Place/src/mimic_dev_main.py:165-169`), so the char matrix collapses
+  * to interval arithmetic: per (note, concept) the intersection is an
+  * interval-overlap join, |pred| and |gt| are plain sums, and
+  * union = |pred| + |gt| − intersection. Exactly equal to the painted form
+  * on non-overlapping inputs, and it never materializes a char dimension —
+  * the step that makes the reference's scorer O(total chars).
+  *
+  * Inputs are DataFrames with columns (doc_id, start, end, concept_id).
+  */
+object Metrics {
+
+  private def lenByConcept(df: DataFrame, out: String): DataFrame =
+    df.groupBy("concept_id").agg(sum(col("end") - col("start")).as(out))
+
+  /** Per-concept char IoU + the macro average (metric = official score). */
+  def macroCharIou(pred: DataFrame, gt: DataFrame): (DataFrame, Double) = {
+    val p = pred.select(col("doc_id"), col("start").as("ps"), col("end").as("pe"), col("concept_id"))
+    val g = gt.select(col("doc_id").as("gdoc"), col("start").as("gs"), col("end").as("ge"),
+      col("concept_id").as("gcid"))
+    val inter = p.join(g,
+        p("doc_id") === g("gdoc") && p("concept_id") === g("gcid") &&
+          greatest(col("ps"), col("gs")) < least(col("pe"), col("ge")))
+      .groupBy(col("concept_id"))
+      .agg(sum(least(col("pe"), col("ge")) - greatest(col("ps"), col("gs"))).as("inter"))
+    val joined = lenByConcept(pred, "plen")
+      .join(lenByConcept(gt, "glen"), Seq("concept_id"), "full_outer")
+      .join(inter, Seq("concept_id"), "left_outer")
+      .na.fill(0L, Seq("plen", "glen", "inter"))
+      .withColumn("union", col("plen") + col("glen") - col("inter"))
+      .withColumn("iou",
+        when(col("union") === 0, lit(0.0)) // guard from 2nd Place/submission/iou.py:42-45
+          .otherwise(col("inter").cast("double") / col("union")))
+    val macroAvg = joined.agg(avg(col("iou"))).head().getDouble(0)
+    (joined.select(col("concept_id"), col("iou")), macroAvg)
+  }
+
+  /** M2 per-note concept-set IoU (`1st Place/src/note_scoring.py:9-25`). */
+  def perNoteSetIou(pred: DataFrame, gt: DataFrame): DataFrame = {
+    val p = pred.groupBy("doc_id").agg(collect_set(col("concept_id")).as("pset"))
+    val g = gt.groupBy(col("doc_id")).agg(collect_set(col("concept_id")).as("gset"))
+    p.join(g, Seq("doc_id"), "full_outer")
+      .withColumn("pset", coalesce(col("pset"), array()))
+      .withColumn("gset", coalesce(col("gset"), array()))
+      .select(col("doc_id"),
+        (size(array_intersect(col("pset"), col("gset"))).cast("double") /
+          size(array_union(col("pset"), col("gset")))).as("iou"))
+  }
+
+  /** M7 pairwise F1 over (a, b) pair sets with a < b pinned by the caller. */
+  def pairwiseF1(pred: DataFrame, gold: DataFrame): (Double, Double, Double) = {
+    val p = pred.select(col("a"), col("b")).distinct()
+    val g = gold.select(col("a"), col("b")).distinct()
+    val np = p.count().toDouble
+    val ng = g.count().toDouble
+    val ni = p.intersect(g).count().toDouble
+    val prec = if (np == 0) 0.0 else ni / np
+    val rec = if (ng == 0) 0.0 else ni / ng
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    (prec, rec, f1)
+  }
+}

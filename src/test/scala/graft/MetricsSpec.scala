@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.metrics.Metrics
+
+class MetricsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  def df(rows: (String, Int, Int, Long)*) =
+    rows.toDF("doc_id", "start", "end", "concept_id")
+
+  test("IoU(x, x) = 1") {
+    val x = df(("d1", 0, 10, 1L), ("d1", 20, 30, 2L), ("d2", 5, 9, 1L))
+    val (_, macroIou) = Metrics.macroCharIou(x, x)
+    assert(math.abs(macroIou - 1.0) < 1e-12)
+  }
+
+  test("hand-computed interval IoU") {
+    // concept 1: pred [0,10) gt [5,15) -> inter 5, union 15, iou 1/3
+    // concept 2: pred only -> iou 0
+    val pred = df(("d1", 0, 10, 1L), ("d1", 30, 40, 2L))
+    val gt = df(("d1", 5, 15, 1L))
+    val (per, macroIou) = Metrics.macroCharIou(pred, gt)
+    val m = per.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m(1L) - 1.0 / 3.0) < 1e-12)
+    assert(m(2L) == 0.0)
+    assert(math.abs(macroIou - (1.0 / 3.0) / 2) < 1e-12)
+  }
+
+  test("interval form equals char-painting form on random non-overlapping spans") {
+    // driver-side char painter (direct transcription of the reference scorer)
+    def paint(rows: Seq[(String, Int, Int, Long)]): Map[Long, Set[(String, Int)]] =
+      rows.flatMap { case (d, s, e, c) => (s until e).map(ch => (c, (d, ch))) }
+        .groupBy(_._1).map { case (c, v) => c -> v.map(_._2).toSet }
+    def charIou(pred: Seq[(String, Int, Int, Long)], gt: Seq[(String, Int, Int, Long)]): Double = {
+      val p = paint(pred); val g = paint(gt)
+      val concepts = p.keySet ++ g.keySet
+      val ious = concepts.toSeq.map { c =>
+        val ps = p.getOrElse(c, Set.empty); val gs = g.getOrElse(c, Set.empty)
+        val u = (ps ++ gs).size
+        if (u == 0) 0.0 else (ps & gs).size.toDouble / u
+      }
+      ious.sum / ious.size
+    }
+    // deterministic pseudo-random non-overlapping spans per doc
+    def spans(seed: Int): Seq[(String, Int, Int, Long)] =
+      (0 until 6).flatMap { d =>
+        var pos = graft.fixtures.Synth.hn(20, seed.toLong, d.toLong)
+        (0 until 8).map { k =>
+          val len = 1 + graft.fixtures.Synth.hn(12, seed.toLong, d.toLong, k.toLong)
+          val gap = 1 + graft.fixtures.Synth.hn(9, seed.toLong, d.toLong, k.toLong, 5L)
+          val s = pos; pos += len + gap
+          (s"d$d", s, s + len, (1 + graft.fixtures.Synth.hn(5, seed.toLong, k.toLong, 7L)).toLong)
+        }
+      }
+    val pred = spans(1); val gt = spans(2)
+    val (_, macroIou) = Metrics.macroCharIou(df(pred: _*), df(gt: _*))
+    assert(math.abs(macroIou - charIou(pred, gt)) < 1e-12)
+  }
+
+  test("per-note set IoU") {
+    val pred = df(("d1", 0, 5, 1L), ("d1", 6, 9, 2L))
+    val gt = df(("d1", 0, 5, 1L), ("d1", 10, 12, 3L))
+    val m = Metrics.perNoteSetIou(pred, gt).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("d1") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("pairwise F1 symmetric and correct on small sets") {
+    val p = Seq(("a", "b"), ("a", "c"), ("x", "y")).toDF("a", "b")
+    val g = Seq(("a", "b"), ("x", "y"), ("m", "n")).toDF("a", "b")
+    val (prec, rec, f1) = Metrics.pairwiseF1(p, g)
+    assert(math.abs(prec - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(rec - 2.0 / 3.0) < 1e-12)
+    val (p2, r2, f2) = Metrics.pairwiseF1(g, p)
+    assert(math.abs(p2 - rec) < 1e-12 && math.abs(r2 - prec) < 1e-12)
+    assert(math.abs(f1 - f2) < 1e-12)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns._
+
+class TextFnsSpec extends AnyFunSuite {
+
+  test("normalize collapses separators and case") {
+    assert(normalize("Acute  Femur-Fracture/Left") == "acute femur fracture left")
+    assert(normalize("  x  ") == "x")
+    assert(normalize("") == "")
+    assert(normalize("a+b(c)") == "a b c")
+  }
+
+  test("tokensWithOffsets round-trips offsets") {
+    val t = "Acute femur, fracture."
+    for ((tok, s, e) <- tokensWithOffsets(t))
+      assert(t.substring(s, e).toLowerCase == tok)
+    assert(tokensWithOffsets(t).map(_._1) == Seq("acute", "femur", "fracture"))
+  }
+
+  test("jaro-winkler known values") {
+    assert(math.abs(jaroWinkler("MARTHA", "MARHTA") - 0.9611) < 0.001)
+    assert(math.abs(jaroWinkler("DIXON", "DICKSONX") - 0.8133) < 0.001)
+    assert(jaroWinkler("abc", "abc") == 1.0)
+    assert(jaroWinkler("abc", "xyz") == 0.0)
+  }
+
+  test("levenshtein matches known values") {
+    assert(levenshtein("kitten", "sitting") == 3)
+    assert(levenshtein("", "abc") == 3)
+    assert(levenshtein("abc", "abc") == 0)
+  }
+
+  test("minhash similarity tracks jaccard: typo stays close, unrelated far") {
+    val a = minHashSignature("acute femur fracture", 64)
+    val b = minHashSignature("acute femur fractrue", 64) // typo
+    val c = minHashSignature("chronic kidney stenosis", 64)
+    def est(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    assert(est(a, b) > 0.5)
+    assert(est(a, c) < 0.2)
+  }
+
+  test("band keys deterministic and shared for near-duplicates") {
+    val a = bandKeys(minHashSignature("acute femur fracture", 64), 4)
+    val a2 = bandKeys(minHashSignature("acute femur fracture", 64), 4)
+    assert(a.sameElements(a2))
+    assert(a.length == 16)
+  }
+
+  test("simhash hamming small for near-dup, large for unrelated") {
+    val a = simHash64("the patient reports acute femur fracture since admission")
+    val b = simHash64("the patient reports acute femur fractrue since admission")
+    val c = simHash64("completely different content about nothing relevant here")
+    assert(hammingDistance(a, b) < 10)
+    assert(hammingDistance(a, c) > 15)
+  }
+
+  test("hashed embedding cosine separates near from far") {
+    val a = hashedEmbedding("acute femur fracture")
+    val b = hashedEmbedding("acute femur fractures")
+    val c = hashedEmbedding("latent cornea erosion")
+    assert(cosine(a, b) > 0.8)
+    assert(cosine(a, c) < 0.4)
+    assert(math.abs(cosine(a, a) - 1.0) < 1e-9)
+  }
+}
