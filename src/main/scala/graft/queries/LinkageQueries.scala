@@ -3,7 +3,8 @@ package graft.queries
 import graft.fixtures.Synth
 import graft.metrics.Metrics
 import graft.model._
-import graft.operators.{DictionaryMatch, OverlapResolve}
+import graft.operators.{Blocking, DictionaryMatch, OverlapResolve}
+import graft.plans.LinkagePipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,8 +82,69 @@ object LinkageQueries {
           .toDF("doc_id", "checksum_after")
         before.join(after, "doc_id")
           .withColumn("ok", col("checksum_before") === col("checksum_after"))
+      }, None),
+
+    // full record-linkage pipeline: blocking → scoring → argmax link edges →
+    // large-star/small-star clustering; output mention→cluster assignments
+    QueryDef("linkage_clusters",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val n = corpusSize(dir)
+        val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), gold(s, n))
+        LinkagePipeline.run(mentions, dict(s)).assignments
+      }, None),
+
+    // the north-rule gate computed distributed: pairwise P/R/F1 on labeled
+    // mention pairs at the same blocking key
+    QueryDef("linkage_pairwise_f1",
+      (s, dir) => pipelineF1(s, dir), None),
+
+    // blocking skew report (per-key frequencies — the lineage/metrics view
+    // that proves hot keys are capped)
+    QueryDef("linkage_block_skew",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val n = corpusSize(dir)
+        val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), gold(s, n))
+        LinkagePipeline.run(mentions, dict(s)).keyFreq
+          .orderBy(col("freq").desc, col("key").asc).limit(200)
       }, None)
   )
+
+  /** Distributed pairwise-F1 gate (metric M7 / BASELINE.json line 1). */
+  def pipelineF1(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val n = corpusSize(dir)
+    val g = gold(s, n)
+    val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), g)
+    val result = LinkagePipeline.run(mentions, dict(s))
+    val universe = Blocking.candidatePairs(
+      result.blockKeys.filter(col("id").startsWith("m:")))
+    val labels = g.map(x => (s"m:${x.doc_id}:${x.start}:${x.end}", x.concept_id))
+      .toDF("id", "cid")
+    val la = labels.toDF("a", "cid_a"); val lb = labels.toDF("b", "cid_b")
+    val ca = result.assignments.toDF("a", "comp_a")
+    val cb = result.assignments.toDF("b", "comp_b")
+    val judged = universe.join(la, "a").join(lb, "b").join(ca, "a").join(cb, "b")
+      .select(
+        (col("cid_a") === col("cid_b")).as("gold"),
+        (col("comp_a") === col("comp_b")).as("pred"))
+      .groupBy()
+      .agg(
+        sum(when(col("gold") && col("pred"), 1).otherwise(0)).as("tp"),
+        sum(when(!col("gold") && col("pred"), 1).otherwise(0)).as("fp"),
+        sum(when(col("gold") && !col("pred"), 1).otherwise(0)).as("fn"),
+        count(lit(1)).as("n_pairs"))
+      .head()
+    val tp = judged.getLong(0).toDouble
+    val fp = judged.getLong(1).toDouble
+    val fn = judged.getLong(2).toDouble
+    val prec = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+    val rec = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    Seq((prec, rec, f1, judged.getLong(3))).toDF("precision", "recall", "f1", "n_pairs")
+  }
 
   def spanChecksum(d: Doc): Long =
     d.spans.zipWithIndex.foldLeft(0xcbf29ce484222325L) { case (h, (sp, i)) =>

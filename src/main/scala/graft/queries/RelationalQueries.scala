@@ -281,6 +281,35 @@ object RelationalQueries {
              |JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY c_custkey""".stripMargin)),
 
+    // G2/north-rule transitive closure: the REAL large-star/small-star CC
+    // runs over a graph whose components DuckDB can derive in closed form
+    // (customers chained within their nation + each customer's orders as a
+    // star + self-edges ⇒ component = min custkey of the nation).
+    QueryDef("q19_components",
+      (s, dir) => {
+        implicit val sp = s
+        val cust = t(s, dir, "customer")
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+        val chain = cust
+          .select(col("c_nationkey"), col("c_custkey"),
+            lag(col("c_custkey"), 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("a"), col("c_custkey").as("b"))
+        val selfEdges = cust.select(col("c_custkey").as("a"), col("c_custkey").as("b"))
+        val star = t(s, dir, "orders")
+          .select(col("o_custkey").as("a"), (col("o_orderkey") + 1000000000L).as("b"))
+        graft.operators.ConnectedComponents(chain.union(selfEdges).union(star))
+          .select(col("id").as("node"), col("component").as("comp"))
+      },
+      Some("""WITH mins AS (SELECT c_nationkey, min(c_custkey) AS m
+             |  FROM customer GROUP BY c_nationkey)
+             |SELECT c.c_custkey AS node, m.m AS comp
+             |FROM customer c JOIN mins m ON c.c_nationkey = m.c_nationkey
+             |UNION ALL
+             |SELECT 1000000000 + o.o_orderkey AS node, m.m AS comp
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN mins m ON c.c_nationkey = m.c_nationkey""".stripMargin)),
+
     // Pairwise-scoring feature parity: Levenshtein distance (built-in both
     // engines; a north-rule scoring feature).
     QueryDef("q20_levenshtein",

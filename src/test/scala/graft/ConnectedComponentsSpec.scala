@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  def cc(edges: Seq[(String, String)]): Map[String, String] = {
+    ConnectedComponents(edges.toDF("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("two separate components with min representative") {
+    val m = cc(Seq(("b", "a"), ("b", "c"), ("x", "y")))
+    assert(m("a") == "a" && m("b") == "a" && m("c") == "a")
+    assert(m("x") == "x" && m("y") == "x")
+  }
+
+  test("deep chain collapses to one component (log-round convergence)") {
+    val n = 300
+    val edges = (1 until n).map(i => (f"n$i%04d", f"n${i - 1}%04d"))
+    val m = cc(edges)
+    assert(m.values.toSet == Set("n0000"))
+    assert(m.size == n)
+  }
+
+  test("self edges and isolated nodes map to themselves") {
+    val m = cc(Seq(("a", "a"), ("b", "c")))
+    assert(m("a") == "a" && m("b") == "b" && m("c") == "b")
+  }
+
+  test("matches driver-side union-find on a pseudo-random graph") {
+    val edges = (0 until 400).map { i =>
+      val u = graft.fixtures.Synth.hn(120, i.toLong, 1L)
+      val v = graft.fixtures.Synth.hn(120, i.toLong, 2L)
+      (f"v$u%03d", f"v$v%03d")
+    }
+    // union-find oracle
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(x: String, y: String): Unit = {
+      val rx = find(x); val ry = find(y)
+      if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+    }
+    edges.foreach { case (u, v) => union(u, v) }
+    // normalize oracle roots to the min member of each component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    val oracle = byRoot.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+    val got = cc(edges)
+    assert(got == oracle)
+  }
+}
