@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LinkageQueries, RelationalQueries}
+import graft.queries.{LinkageQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,8 @@ import graft.queries.{LinkageQueries, RelationalQueries}
   */
 object SparkEntry {
 
-  private def allDefs = RelationalQueries.defs ++ LinkageQueries.defs
+  private def allDefs =
+    RelationalQueries.defs ++ LinkageQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

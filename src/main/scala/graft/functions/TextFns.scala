@@ -66,8 +66,11 @@ object TextFns {
 
   /** MinHash signature over char n-grams: k independent hash seeds, min per
     * seed. Permutation-free variant (one hash per seed) — standard practice. */
-  def minHashSignature(s: String, k: Int, ngram: Int = 3): Array[Long] = {
-    val grams = charNgrams(s, ngram)
+  def minHashSignature(s: String, k: Int, ngram: Int = 3): Array[Long] =
+    minHashOfSet(charNgrams(s, ngram), k)
+
+  /** MinHash over an arbitrary item set (e.g. word shingles). */
+  def minHashOfSet(grams: Array[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val mul = seedMultipliers(k)
     var g = 0
@@ -116,8 +119,11 @@ object TextFns {
 
   /** SimHash over char n-grams: 64-bit sketch whose Hamming distance tracks
     * cosine similarity of the n-gram bags. */
-  def simHash64(s: String, ngram: Int = 3): Long = {
-    val grams = charNgrams(s, ngram)
+  def simHash64(s: String, ngram: Int = 3): Long =
+    simHashOfSet(charNgrams(s, ngram))
+
+  /** SimHash over an arbitrary item set (e.g. word shingles). */
+  def simHashOfSet(grams: Array[String]): Long = {
     val acc = new Array[Int](64)
     var g = 0
     while (g < grams.length) {

@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** edges(a, b) → assignment(id, component) for every endpoint. */
-  def apply(edges0: DataFrame, maxIter: Int = 40)
+  def apply(edgesIn: DataFrame, maxIter: Int = 40)
            (implicit spark: SparkSession): DataFrame = {
-    val nodes = edges0.select(col("a").as("id"))
-      .union(edges0.select(col("b").as("id"))).distinct()
+    // materialize the input once: cuts whatever upstream plan produced the
+    // edges (UDF filters, joins) so the iteration joins against a stable
+    // leaf — required for the loop anyway, and avoids re-executing the
+    // upstream pipeline for the nodes scan
+    val edges0 = edgesIn.select(col("a"), col("b")).localCheckpoint()
+    val nodes = edges0.select(col("a").as("id")).toDF("id")
+      .union(edges0.select(col("b").as("id")).toDF("id")).distinct()
 
     var edges = edges0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
@@ -44,8 +49,8 @@ object ConnectedComponents {
     }
 
     // after convergence every edge is (node, root); roots + isolated nodes map to themselves
-    val assign = edges.select(col("v").as("id"), col("u").as("component"))
-      .union(edges.select(col("u").as("id"), col("u").as("component")))
+    val assign = edges.select(col("v"), col("u")).toDF("id", "component")
+      .union(edges.select(col("u"), col("u")).toDF("id", "component"))
       .groupBy("id").agg(min(col("component")).as("component"))
     nodes.join(assign, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
@@ -62,8 +67,8 @@ object ConnectedComponents {
 
   /** Undirected adjacency as (u, neighbor v). */
   private def adjacency(edges: DataFrame): DataFrame =
-    edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    edges.select(col("u"), col("v")).toDF("u", "v")
+      .union(edges.select(col("v"), col("u")).toDF("u", "v"))
 
   private def largeStar(edges: DataFrame): DataFrame = {
     val adj = adjacency(edges)
@@ -82,8 +87,8 @@ object ConnectedComponents {
     val reattach = o.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
-    val selfToMin = mins.select(col("m").as("u"), col("u").as("v"))
-    reattach.union(selfToMin)
+    val selfToMin = mins.select(col("m"), col("u")).toDF("u", "v")
+    reattach.toDF("u", "v").union(selfToMin)
       .filter(col("u") =!= col("v"))
       .distinct()
   }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries over the driver's documents/embeddings/
+  * events tables: dedup family, ANN similarity search, text analysis,
+  * multimodal feature plumbing, and the streaming window shape. */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // MinHash-LSH near-dup detection + transitive canonical groups.
+    QueryDef("dedup_minhash",
+      (s, dir) => {
+        implicit val sp = s
+        val pairs = Dedup.minHashPairs(t(s, dir, "documents"), threshold = 0.9)
+        Dedup.clusters(pairs)
+      }, None),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over word-shingle simhash).
+    QueryDef("dedup_simhash",
+      (s, dir) => {
+        implicit val sp = s
+        Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3)
+      }, None),
+
+    // n-gram-Jaccard near-dup pairs (sampled-shingle blocking, exact verify).
+    QueryDef("dedup_jaccard",
+      (s, dir) => {
+        implicit val sp = s
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.9)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+      }, None),
+
+    // embedding-cosine near-dup pairs (hyperplane LSH buckets, exact verify).
+    QueryDef("dedup_embedding",
+      (s, dir) => {
+        implicit val sp = s
+        Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.9)
+          .withColumn("cosine", round(col("cosine"), 4))
+      }, None),
+
+    // Brute-force cosine top-5 — DuckDB-verifiable (round-before-rank).
+    QueryDef("ann_topk",
+      (s, dir) => {
+        implicit val sp = s
+        Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+             |SELECT vec_id, neighbor_id, sim, rnk FROM (
+             |  SELECT vec_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+             |WHERE rnk <= 5""".stripMargin)),
+
+    // LSH-bucketed ANN (the scale path; recall vs brute force asserted in
+    // SimilaritySpec).
+    QueryDef("ann_lsh",
+      (s, dir) => {
+        implicit val sp = s
+        Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+      }, None),
+
+    // Language identification (n-gram/stopword heuristic).
+    QueryDef("lang_id",
+      (s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n")), None),
+
+    // Quality scoring — column-expression features, DuckDB-verifiable.
+    QueryDef("quality_features",
+      (s, dir) => TextAnalysis.qualityFeatures(t(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |CAST(length(text) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+             |round(length(text) / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0), 4) AS mean_token_len,
+             |round((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE), 4) AS space_ratio,
+             |round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+             |round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS upper_ratio,
+             |round(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |  t -> t IN ('the','and','of','to','in','is','was','with','for','that','this','are')))
+             |  / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0), 4) AS stopword_ratio,
+             |round(1.0
+             |  - least(1.0, abs((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE) - 0.16) * 3)
+             |  - least(0.5, length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE) * 2)
+             |  - least(0.5, length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)), 4) AS quality
+             |FROM documents WHERE length(text) > 0""".stripMargin)),
+
+    // Document fingerprints (rolling hash + simhash + first minhash band).
+    QueryDef("doc_fingerprint",
+      (s, dir) => {
+        implicit val sp = s
+        TextAnalysis.fingerprints(t(s, dir, "documents"))
+      }, None),
+
+    // Multimodal: media table from interleaved docs → batched stub decode.
+    QueryDef("multimodal_features",
+      (s, dir) => {
+        implicit val sp = s
+        val n = LinkageQueries.corpusSize(dir)
+        val media = Multimodal.mediaTable(LinkageQueries.docs(s, n))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("doc_id"), col("media_ref"), col("position"),
+            col("n_bytes"), col("width"), col("height"), col("mean_intensity"))
+      }, None),
+
+    // Structured Streaming: hourly windowed counts, DuckDB-verifiable.
+    QueryDef("streaming_hourly",
+      (s, dir) => EventStream.hourlyCounts(s, dir)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}
