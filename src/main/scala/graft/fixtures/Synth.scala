@@ -138,6 +138,34 @@ object Synth {
         DictEntry(section, TextFns.normalize(t), cid))
     }.distinct
 
+  // ---- synonym-mapping side tables (FIXTURES.md §4, OMOP/Athena analog) ----
+  /** External vocabulary: ~20% of concepts mapped through a fake vocabulary
+    * with a renamed synonym (exercises the J2 3-way mapping join,
+    * `1st Place/src/process_data.py:200-224`). */
+  case class ExtConcept(ext_id: Long, name: String, vocabulary: String, code: String)
+  case class ExtMapping(ext_id_1: Long, ext_id_2: Long, relationship: String)
+  case class Abbreviation(abbr: String, meaning: String)
+
+  def extConcepts(n: Int): Seq[ExtConcept] =
+    (0 until n).filter(_ % 5 == 0).map { i =>
+      // renamed synonym: swap the adjective for a paraphrase marker word
+      val parts = conceptName(i).split(' ')
+      ExtConcept(900000L + i, s"${parts(1)} ${parts(2)} ${parts(0)} type",
+        if (i % 10 == 0) "FAKEVOCAB1" else "FAKEVOCAB2", s"X${i}%06d")
+    }
+
+  /** ext concept -> "Maps to" -> a SNOMED-side ext row carrying concept_id. */
+  def extMappings(n: Int): Seq[ExtMapping] =
+    (0 until n).filter(_ % 5 == 0).map(i => ExtMapping(900000L + i, conceptId(i), "Maps to"))
+
+  /** Abbreviations: initials of the concept name (exercises the lowercase
+    * equality join J8, `1st Place/src/process_data.py:268-291`). */
+  def abbreviations(n: Int): Seq[Abbreviation] =
+    (0 until n).filter(_ % 4 == 0).map { i =>
+      val name = conceptName(i)
+      Abbreviation(name.split(' ').map(_.head.toUpper).mkString, name)
+    }
+
   // ---- docs ----
   /** Surface-form variant of concept i for planting occurrence `occ`:
     * 0 = preferred name, 1 = permutation synonym, 2 = typo, 3 = plural,

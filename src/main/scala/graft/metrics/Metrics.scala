@@ -57,6 +57,35 @@ object Metrics {
           size(array_union(col("pset"), col("gset")))).as("iou"))
   }
 
+  /** M3: set-based P/R/F1 of mention texts per note
+    * (`3rd Place/src/metrics.py:5-52`). Inputs carry (doc_id, term). */
+  def perNoteTermPrf(pred: DataFrame, gt: DataFrame): DataFrame = {
+    val p = pred.groupBy("doc_id").agg(collect_set(col("term")).as("pset"))
+    val g = gt.groupBy(col("doc_id")).agg(collect_set(col("term")).as("gset"))
+    p.join(g, Seq("doc_id"), "full_outer")
+      .withColumn("pset", coalesce(col("pset"), array()))
+      .withColumn("gset", coalesce(col("gset"), array()))
+      .withColumn("n_inter", size(array_intersect(col("pset"), col("gset"))).cast("double"))
+      .withColumn("precision",
+        when(size(col("pset")) === 0, 0.0).otherwise(col("n_inter") / size(col("pset"))))
+      .withColumn("recall",
+        when(size(col("gset")) === 0, 0.0).otherwise(col("n_inter") / size(col("gset"))))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2) * col("precision") * col("recall") / (col("precision") + col("recall"))))
+      .select(col("doc_id"), col("precision"), col("recall"), col("f1"))
+  }
+
+  /** M4: hit@k linking accuracy — truth present in the first k candidates
+    * (`3rd Place/src/metrics.py:119-144`). Input: (candidates array<long>,
+    * truth long); returns one row with hit@k for each k. */
+  def hitAtK(df: DataFrame, ks: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
+    val aggs = ks.map(k =>
+      avg(when(array_contains(slice(col("candidates"), 1, k), col("truth")), 1.0)
+        .otherwise(0.0)).as(s"hit_at_$k"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** M7 pairwise F1 over (a, b) pair sets with a < b pinned by the caller. */
   def pairwiseF1(pred: DataFrame, gold: DataFrame): (Double, Double, Double) = {
     val p = pred.select(col("a"), col("b")).distinct()

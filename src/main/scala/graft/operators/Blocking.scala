@@ -50,18 +50,93 @@ object Blocking {
     keys.groupBy("key").agg(count(lit(1)).as("freq"))
 
   /** Candidate pairs: self-equi-join on block key, canonical a < b, distinct.
-    * Keys hotter than `hotKeyCap` are dropped (frequency blacklist) before
-    * the join — the O(freq²) blowup never materializes. */
-  def candidatePairs(keys: DataFrame, hotKeyCap: Int = 1000)
+    *
+    * Skew handling, in order:
+    *  1. keys hotter than `hotKeyCap` are DROPPED (frequency blacklist, the
+    *     reference's semantics for ultra-frequent terms) — their O(freq²)
+    *     blowup never materializes;
+    *  2. keys with freq in (saltThreshold, hotKeyCap] go through SALTED
+    *     REPLICATION: the left side is hashed into `salts` sub-keys, the
+    *     right side replicated to every sub-key — pair semantics identical
+    *     (each (a,b) joins exactly once, via a's salt), but one hot key's
+    *     work spreads over `salts` reducers instead of one straggler;
+    *  3. residual imbalance is left to AQE skew-join splitting.
+    */
+  def candidatePairs(keys: DataFrame, hotKeyCap: Int = 1000,
+                     saltThreshold: Int = 300, salts: Int = 8)
                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val freq = keyFrequencies(keys).filter(col("freq") <= hotKeyCap)
-    val pruned = keys.join(freq, "key") // inner: drops hot keys
-      .select(col("key"), col("id"))
-    val l = pruned.toDF("key", "a")
-    val r = pruned.toDF("key", "b")
-    l.join(r, "key")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    val pruned = keys.join(freq, "key")
+      .select(col("key"), col("id"), col("freq"))
+
+    val cold = pruned.filter(col("freq") <= saltThreshold).select(col("key"), col("id"))
+    val coldPairs = cold.toDF("key", "a").join(cold.toDF("key", "b"), "key")
+      .filter(col("a") < col("b")).select(col("a"), col("b"))
+
+    val hot = pruned.filter(col("freq") > saltThreshold).select(col("key"), col("id"))
+    val saltedLeft = hot.select(
+      concat(col("key"), lit("#"), pmod(xxhash64(col("id")), lit(salts))).as("skey"),
+      col("id").as("a"))
+    val replicatedRight = hot.select(col("key"), col("id").as("b"))
+      .crossJoin(spark.range(salts.toLong).toDF("salt"))
+      .select(concat(col("key"), lit("#"), col("salt")).as("skey"), col("b"))
+    val hotPairs = saltedLeft.join(replicatedRight, "skey")
+      .filter(col("a") < col("b")).select(col("a"), col("b"))
+
+    coldPairs.union(hotPairs).distinct()
+  }
+
+  /** Key table that carries the norm alongside (id, key) — lets the pair
+    * join emit (a, b, norm_a, norm_b) directly, so scoring needs NO second
+    * join against a node table: the candidate path becomes
+    * key-join → length prefilter → narrow scoring — one pair shuffle
+    * instead of three (distinct + two norm joins). */
+  def blockKeysWithNorm(nodes: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    nodes.select(col("id"), col("norm")).as[(String, String)]
+      .flatMap { case (id, norm) => keysFor(norm).map(k => (id, k, norm)) }
+      .toDF("id", "key", "norm")
+  }
+
+  /** Candidate pairs with norms attached (same skew strategy as
+    * `candidatePairs`), prefiltered by |len_a − len_b| ≤ lenSlack — pairs
+    * that different by more than that can never clear the match threshold,
+    * so they are dropped before they ever hit the shuffle. */
+  /** With `dedupe = false` a pair may appear once per shared block key
+    * (measured dup factor ≈ 1.3×): downstream per-group argmax/threshold
+    * consumers are duplicate-tolerant, and skipping the distinct removes a
+    * full shuffle of the widest relation in the pipeline — the measured
+    * scaling bottleneck. Keep `dedupe = true` for set-semantics consumers. */
+  def candidatePairsWithNorms(keys: DataFrame, hotKeyCap: Int = 1000,
+                              saltThreshold: Int = 300, salts: Int = 8,
+                              lenSlack: Int = 10, dedupe: Boolean = true)
+                             (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val freq = keyFrequencies(keys.select(col("id"), col("key")))
+      .filter(col("freq") <= hotKeyCap)
+    val pruned = keys.join(freq, "key")
+      .select(col("key"), col("id"), col("norm"), col("freq"))
+    val lenOk = abs(length(col("norm_a")) - length(col("norm_b"))) <= lenSlack
+
+    val cold = pruned.filter(col("freq") <= saltThreshold)
+    val coldPairs = cold.select(col("key"), col("id").as("a"), col("norm").as("norm_a"))
+      .join(cold.select(col("key"), col("id").as("b"), col("norm").as("norm_b")), "key")
+      .filter(col("a") < col("b") && lenOk)
+      .select(col("a"), col("b"), col("norm_a"), col("norm_b"))
+
+    val hot = pruned.filter(col("freq") > saltThreshold)
+    val saltedLeft = hot.select(
+      concat(col("key"), lit("#"), pmod(xxhash64(col("id")), lit(salts))).as("skey"),
+      col("id").as("a"), col("norm").as("norm_a"))
+    val replicatedRight = hot.select(col("key"), col("id").as("b"), col("norm").as("norm_b"))
+      .crossJoin(spark.range(salts.toLong).toDF("salt"))
+      .select(concat(col("key"), lit("#"), col("salt")).as("skey"), col("b"), col("norm_b"))
+    val hotPairs = saltedLeft.join(replicatedRight, "skey")
+      .filter(col("a") < col("b") && lenOk)
+      .select(col("a"), col("b"), col("norm_a"), col("norm_b"))
+
+    val union = coldPairs.union(hotPairs)
+    if (dedupe) union.distinct() else union
   }
 }

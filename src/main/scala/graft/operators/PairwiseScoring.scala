@@ -27,25 +27,59 @@ object PairwiseScoring {
                      bias: Double = 0.82, gain: Double = 12.0)
 
   val jwUdf = udf((a: String, b: String) => TextFns.jaroWinkler(a, b))
-  val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    TextFns.cosine(a.toArray, b.toArray))
   val embUdf = udf((s: String) => TextFns.hashedEmbedding(s))
 
-  /** nodes(id, norm) → nodes(id, norm, emb). */
+  /** Per-executor bounded cache of hashed embeddings: each node participates
+    * in many pairs, so recomputing its embedding per pair is wasted CPU,
+    * while SHIPPING it through the pair joins is 256 B/row of shuffle —
+    * the cache gives the best of both (compute once per executor). */
+  // Thread-local LRU: a shared synchronized map would serialize all task
+  // threads on every access-order mutation — a measured scaling killer at
+  // local[32]. Per-thread caches cost a little memory, zero contention.
+  @transient private lazy val embCache =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Array[Float]]](() =>
+      new java.util.LinkedHashMap[String, Array[Float]](16384, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Float]]) =
+          size() > 50000
+      })
+
+  def cachedEmbedding(s: String): Array[Float] = {
+    val m = embCache.get()
+    val hit = m.get(s)
+    if (hit != null) hit
+    else { val v = TextFns.hashedEmbedding(s); m.put(s, v); v }
+  }
+
+  /** cos feature of two norms via the executor-local embedding cache. */
+  val cosNormUdf = udf((a: String, b: String) =>
+    TextFns.cosine(cachedEmbedding(a), cachedEmbedding(b)))
+
+  /** nodes(id, norm) → nodes(id, norm, emb) (kept for API users that want
+    * materialized embeddings; the scorer itself derives them from norms). */
   def withFeatures(nodes: DataFrame): DataFrame =
     nodes.withColumn("emb", embUdf(col("norm")))
 
-  /** pairs(a, b) ⋈ features → scored pairs with (jw, lev_ratio, cos, score). */
+  /** Narrow scoring over pairs that already carry both norms
+    * (Blocking.candidatePairsWithNorms) — zero additional shuffles. */
+  def scoreInline(pairsWithNorms: DataFrame, w: Weights = Weights()): DataFrame =
+    addScoreColumns(pairsWithNorms, w)
+
+  /** pairs(a, b) ⋈ node norms → scored pairs (jw, lev_ratio, cos, score).
+    * Only the 2 norm strings travel through the pair joins; embeddings are
+    * derived executor-side (cached), and `levenshtein` is the codegen'd
+    * built-in. */
   def score(pairs: DataFrame, nodes: DataFrame, w: Weights = Weights())
            (implicit spark: SparkSession): DataFrame = {
-    val feats = withFeatures(nodes)
-    val fa = feats.select(col("id").as("a"), col("norm").as("norm_a"), col("emb").as("emb_a"))
-    val fb = feats.select(col("id").as("b"), col("norm").as("norm_b"), col("emb").as("emb_b"))
-    val joined = pairs.join(fa, "a").join(fb, "b")
+    val fa = nodes.select(col("id").as("a"), col("norm").as("norm_a"))
+    val fb = nodes.select(col("id").as("b"), col("norm").as("norm_b"))
+    addScoreColumns(pairs.join(fa, "a").join(fb, "b"), w)
+  }
+
+  private def addScoreColumns(joined: DataFrame, w: Weights): DataFrame = {
     val jw = jwUdf(col("norm_a"), col("norm_b"))
     val levRatio = lit(1.0) - levenshtein(col("norm_a"), col("norm_b")).cast("double") /
       greatest(length(col("norm_a")), length(col("norm_b")), lit(1))
-    val cos = cosUdf(col("emb_a"), col("emb_b"))
+    val cos = cosNormUdf(col("norm_a"), col("norm_b"))
     val linear = lit(w.wJw) * col("jw") + lit(w.wLev) * col("lev_ratio") + lit(w.wCos) * col("cos")
     joined
       .withColumn("jw", jw)

@@ -20,6 +20,11 @@ object LinkageQueries {
 
   val NumConcepts = 500
 
+  /** Terminology size scales with corpus size (constant mentions-per-entity
+    * — the web-scale regime; a fixed terminology would make same-entity
+    * blocks, and thus candidate pairs, grow quadratically with the corpus). */
+  def numConcepts(nDocs: Int): Int = math.max(NumConcepts, nDocs / 10)
+
   /** Corpus size scales with the driver's sf dir. */
   def corpusSize(sfDir: String): Int =
     if (sfDir.contains("0.001")) 200
@@ -28,17 +33,19 @@ object LinkageQueries {
 
   def docs(spark: SparkSession, n: Int): Dataset[Doc] = {
     import spark.implicits._
-    spark.range(n.toLong).map(i => Synth.genDoc(i, NumConcepts)._1)
+    val k = numConcepts(n)
+    spark.range(n.toLong).map(i => Synth.genDoc(i, k)._1)
   }
 
   def gold(spark: SparkSession, n: Int): Dataset[GoldAnnotation] = {
     import spark.implicits._
-    spark.range(n.toLong).flatMap(i => Synth.genDoc(i, NumConcepts)._2)
+    val k = numConcepts(n)
+    spark.range(n.toLong).flatMap(i => Synth.genDoc(i, k)._2)
   }
 
-  def dict(spark: SparkSession): Dataset[DictEntry] = {
+  def dict(spark: SparkSession, nDocs: Int): Dataset[DictEntry] = {
     import spark.implicits._
-    spark.createDataset(Synth.dictionary(NumConcepts))
+    spark.createDataset(Synth.dictionary(numConcepts(nDocs)))
   }
 
   /** The 1st-place inference path (SURVEY §3.1): gazetteer annotate →
@@ -46,7 +53,7 @@ object LinkageQueries {
   def annotate(spark: SparkSession, sfDir: String): Dataset[Annotation] = {
     implicit val s: SparkSession = spark
     val n = corpusSize(sfDir)
-    OverlapResolve.apply(DictionaryMatch.annotate(docs(spark, n), dict(spark)))
+    OverlapResolve.apply(DictionaryMatch.annotate(docs(spark, n), dict(spark, n)))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -91,7 +98,7 @@ object LinkageQueries {
         implicit val sp: SparkSession = s
         val n = corpusSize(dir)
         val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), gold(s, n))
-        LinkagePipeline.run(mentions, dict(s)).assignments
+        LinkagePipeline.run(mentions, dict(s, n)).assignments
       }, None),
 
     // the north-rule gate computed distributed: pairwise P/R/F1 on labeled
@@ -106,8 +113,52 @@ object LinkageQueries {
         implicit val sp: SparkSession = s
         val n = corpusSize(dir)
         val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), gold(s, n))
-        LinkagePipeline.run(mentions, dict(s)).keyFreq
+        LinkagePipeline.run(mentions, dict(s, n)).keyFreq
           .orderBy(col("freq").desc, col("key").asc).limit(200)
+      }, None),
+
+    // dictionary construction (1st-place training, SURVEY §3.2): harvested +
+    // terminology + external-vocab + abbreviation entries, expanded, pruned
+    QueryDef("dict_train",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val n = corpusSize(dir)
+        val k = numConcepts(n)
+        graft.operators.DictTrain.trainDictionary(
+          docs(s, n), gold(s, n),
+          s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
+          s.createDataset(Synth.extConcepts(k)).toDF(),
+          s.createDataset(Synth.extMappings(k)).toDF(),
+          s.createDataset(Synth.abbreviations(k)).toDF()).toDF()
+      }, None),
+
+    // end-to-end retrain-then-infer: macro char IoU using the TRAINED dict
+    QueryDef("dict_train_iou",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val n = corpusSize(dir)
+        val k = numConcepts(n)
+        val trained = graft.operators.DictTrain.trainDictionary(
+          docs(s, n), gold(s, n),
+          s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
+          s.createDataset(Synth.extConcepts(k)).toDF(),
+          s.createDataset(Synth.extMappings(k)).toDF(),
+          s.createDataset(Synth.abbreviations(k)).toDF())
+        val pred = graft.operators.OverlapResolve.apply(
+          graft.operators.DictionaryMatch.annotate(docs(s, n), trained)).toDF()
+        val (_, macroAvg) = Metrics.macroCharIou(
+          pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),
+          gold(s, n).toDF())
+        Seq(("macro_char_iou_trained_dict", macroAvg)).toDF("metric", "value")
+      }, None),
+
+    // chunking relation (C2/C3) over the interleaved docs
+    QueryDef("chunking",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        graft.operators.Chunking.apply(docs(s, corpusSize(dir))).toDF()
       }, None)
   )
 
@@ -118,7 +169,7 @@ object LinkageQueries {
     val n = corpusSize(dir)
     val g = gold(s, n)
     val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), g)
-    val result = LinkagePipeline.run(mentions, dict(s))
+    val result = LinkagePipeline.run(mentions, dict(s, n))
     val universe = Blocking.candidatePairs(
       result.blockKeys.filter(col("id").startsWith("m:")))
     val labels = g.map(x => (s"m:${x.doc_id}:${x.start}:${x.end}", x.concept_id))

@@ -310,6 +310,38 @@ object RelationalQueries {
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |JOIN mins m ON c.c_nationkey = m.c_nationkey""".stripMargin)),
 
+    // G2 iterative frontier-join ancestor closure vs DuckDB's recursive CTE:
+    // a synthetic tree on order keys (parent = key div 8).
+    QueryDef("q21_descendants",
+      (s, dir) => {
+        implicit val sp = s
+        val edges = t(s, dir, "orders")
+          .filter(col("o_orderkey") >= 8)
+          .select(col("o_orderkey").as("child"),
+            expr("o_orderkey div 8").as("parent"))
+        graft.operators.Graph.ancestorClosure(edges)
+          .select(col("node"), col("anc"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT o_orderkey AS child, o_orderkey // 8 AS parent
+             |  FROM orders WHERE o_orderkey >= 8),
+             |anc(node, anc) AS (
+             |  SELECT child, parent FROM e
+             |  UNION
+             |  SELECT a.node, e.parent FROM anc a JOIN e ON a.anc = e.child)
+             |SELECT node, anc FROM anc""".stripMargin)),
+
+    // A9 embedding mean per label (elementwise), exact-relational form.
+    QueryDef("q22_embedding_mean",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), (col("pos") + 1).as("pos"))
+        .agg(round(avg(col("val").cast("double")), 4).as("mean_val"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("mean_val")),
+      Some("""SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_val
+             |FROM embeddings, generate_series(1, 64) t(i)
+             |GROUP BY label, i""".stripMargin)),
+
     // Pairwise-scoring feature parity: Levenshtein distance (built-in both
     // engines; a north-rule scoring feature).
     QueryDef("q20_levenshtein",

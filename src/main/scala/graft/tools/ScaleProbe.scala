@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Quick bottleneck probe: same annotate job at several parallelism levels,
+  * plus a pure generation-only job, to see where scaling stops. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    for (cores <- Seq(2, 8, 32)) {
+      val t = Scaling.withSession(cores) { spark =>
+        import spark.implicits._
+        implicit val s = spark
+        // generation only
+        val t0 = System.nanoTime()
+        graft.queries.LinkageQueries.docs(spark, n).map(_.spans.length).agg(Map("value" -> "sum")).head()
+        val genSec = (System.nanoTime() - t0) / 1e9
+        // full annotate
+        val (annSec, _) = Scaling.time(Scaling.annotateJob(spark, n))
+        (genSec, annSec)
+      }
+      println(f"cores=$cores%2d  gen=${t._1}%6.1f s (${n / t._1}%8.0f docs/s)  annotate=${t._2}%6.1f s (${n / t._2}%8.0f docs/s)")
+    }
+  }
+}

@@ -60,13 +60,19 @@ class LinkageF1Spec extends AnyFunSuite with SparkTestBase {
     assert(conceptsPerComponent == 0)
   }
 
-  test("argmax linking: every mention's best dictionary term is its own concept") {
+  test("argmax linking: every surface's best dictionary term is its own concept") {
     val mentions = LinkagePipeline.mentionsFromSpans(docs, golds)
     val result = LinkagePipeline.run(mentions, dict)
-    val label = goldsSeq.map(g => mid(g) -> g.concept_id).toMap
+    // surface -> concept truth (unique per surface in the synthetic corpus)
+    val byDoc = docsSeq.map(d => d.doc_id -> d.text).toMap
+    val label = goldsSeq.map { g =>
+      val surf = graft.functions.TextFns.normalize(byDoc(g.doc_id).substring(g.start, g.end))
+      ("s:" + surf) -> g.concept_id
+    }.toMap
     val dictConcept = Synth.dictionary(nConcepts).map(e => "t:" + e.mention -> e.concept_id).toMap
     val mt = result.scored.collect()
-      .filter(r => r.getString(0).startsWith("m:") && r.getString(1).startsWith("t:"))
+      .filter(r => r.getString(0).startsWith("s:") && r.getString(1).startsWith("t:") &&
+        label.contains(r.getString(0)))
     val best = mt.groupBy(_.getString(0)).map { case (m, rows) =>
       m -> rows.maxBy(r => (r.getDouble(5), r.getString(1)))
     }
