@@ -310,6 +310,24 @@ object RelationalQueries {
              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              |JOIN mins m ON c.c_nationkey = m.c_nationkey""".stripMargin)),
 
+    // J6/W4 as-of semantics: most recent prior event of the same user with
+    // value > 1.0 (the reference's greatest-header-position-≤-start lookup,
+    // `1st Place/src/mimic_common.py:81-91`, as a window).
+    QueryDef("q23_asof",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          last(when(col("value") > 1.0, col("event_id")), ignoreNulls = true)
+            .over(w).as("prev_big_event"))
+      },
+      Some("""SELECT event_id, user_id,
+             |last_value(CASE WHEN value > 1.0 THEN event_id END IGNORE NULLS)
+             |  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_big_event
+             |FROM events""".stripMargin)),
+
     // G2 iterative frontier-join ancestor closure vs DuckDB's recursive CTE:
     // a synthetic tree on order keys (parent = key div 8).
     QueryDef("q21_descendants",

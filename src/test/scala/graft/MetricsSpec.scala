@@ -67,6 +67,28 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(m("d1") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("per-note term P/R/F1 (M3)") {
+    val pred = Seq(("d1", "cough"), ("d1", "fever"), ("d2", "pain")).toDF("doc_id", "term")
+    val gt = Seq(("d1", "cough"), ("d1", "rash")).toDF("doc_id", "term")
+    val m = Metrics.perNoteTermPrf(pred, gt).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("d1") == ((0.5, 0.5, 0.5)))
+    assert(m("d2") == ((0.0, 0.0, 0.0))) // pred only, no gt
+  }
+
+  test("hit@k (M4)") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L), 1L),  // hit@1
+      (Seq(9L, 2L, 3L, 4L, 5L, 6L), 5L),  // hit@5 (rank 5)
+      (Seq(9L, 8L, 7L, 6L, 5L, 1L), 1L),  // hit@10 only (rank 6)
+      (Seq(9L, 8L, 7L, 6L, 5L, 4L), 99L)) // miss
+      .toDF("candidates", "truth")
+    val r = Metrics.hitAtK(df, Seq(1, 5, 10)).head()
+    assert(r.getDouble(0) == 0.25) // hit@1
+    assert(r.getDouble(1) == 0.5)  // hit@5
+    assert(r.getDouble(2) == 0.75) // hit@10
+  }
+
   test("pairwise F1 symmetric and correct on small sets") {
     val p = Seq(("a", "b"), ("a", "c"), ("x", "y")).toDF("a", "b")
     val g = Seq(("a", "b"), ("x", "y"), ("m", "n")).toDF("a", "b")
