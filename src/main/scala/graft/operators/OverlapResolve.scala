@@ -75,10 +75,22 @@ object OverlapResolve {
     (survivors ++ rescued).sorted.map(sorted(_)).toSeq
   }
 
-  /** Distributed form: single shuffle on doc_id, bounded per-group memory. */
+  /** Distributed form: single shuffle on doc_id, bounded per-group memory.
+    * Uses hash aggregation (collect_list → ObjectHashAggregate) instead of
+    * groupByKey's sort-based grouping: thread dumps showed the sort of the
+    * shuffled annotation rows (TimSort on row pointers, memory-latency
+    * bound) dominating 19/31 worker threads — the sweep itself sorts each
+    * tiny per-doc group in memory anyway. */
   def apply(anns: Dataset[Annotation])(implicit spark: SparkSession): Dataset[Annotation] = {
     import spark.implicits._
-    anns.groupByKey(_.doc_id).flatMapGroups((_, it) => removeOverlaps(it.toSeq).iterator)
+    import org.apache.spark.sql.functions._
+    anns.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start"), col("end"), col("concept_id"),
+        col("section"), col("dict_entry"))).as("rows"))
+      .as[(String, Seq[(Int, Int, Long, String, String)])]
+      .flatMap { case (docId, rows) =>
+        removeOverlaps(rows.map(r => Annotation(docId, r._1, r._2, r._3, r._4, r._5)))
+      }
   }
 
   /** Overlap-freeness invariant (reference check

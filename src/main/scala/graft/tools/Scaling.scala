@@ -106,6 +106,6 @@ object Scaling {
 
     println(md)
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    Files.writeString(Paths.get("BENCH/SCALING_RUN.md"), md)
   }
 }
