@@ -24,22 +24,33 @@ object Bench {
     try SparkEntry.queries("q01_agg_sum")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => }
 
+    // a failing query must be VISIBLE in the graded JSON (not a
+    // misleadingly small time): failures go to a "failed" list and their
+    // time is recorded as -1
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
 
-    // headline: docs scored per second through the full linkage pipeline
+    // headline: docs scored per second through the full linkage pipeline —
+    // drop the memoized Result first so the timing includes the whole
+    // blocking → scoring → clustering compute, not a cache hit
+    graft.queries.LinkageQueries.clearRunCache()
     val nDocs = graft.queries.LinkageQueries.corpusSize(sfDir)
     val t0 = System.nanoTime()
     graft.queries.LinkageQueries.pipelineF1(spark, sfDir).collect()
     val pipelineSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nDocs / pipelineSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(msg)) =>
+      "\"" + k + ": " + msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\""
+    }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
       s""""docs_per_sec":$docsPerSec,"pipeline_docs":$nDocs,"pipeline_sec":$pipelineSec,""" +
       s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()

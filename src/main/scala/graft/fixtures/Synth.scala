@@ -151,7 +151,7 @@ object Synth {
       // renamed synonym: swap the adjective for a paraphrase marker word
       val parts = conceptName(i).split(' ')
       ExtConcept(900000L + i, s"${parts(1)} ${parts(2)} ${parts(0)} type",
-        if (i % 10 == 0) "FAKEVOCAB1" else "FAKEVOCAB2", s"X${i}%06d")
+        if (i % 10 == 0) "FAKEVOCAB1" else "FAKEVOCAB2", f"X$i%06d")
     }
 
   /** ext concept -> "Maps to" -> a SNOMED-side ext row carrying concept_id. */

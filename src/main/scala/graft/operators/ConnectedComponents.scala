@@ -40,7 +40,11 @@ object ConnectedComponents {
     var sig = signature(edges)
     while (!stable && iter < maxIter) {
       val ls = largeStar(edges)
-      val ss = smallStar(ls).localCheckpoint()
+      // LAZY localCheckpoint: the signature aggregation below is the one
+      // action that materializes the checkpoint — one pass per round
+      // (compute + cache + aggregate), not a checkpoint pass plus a
+      // separate count+hash pass
+      val ss = smallStar(ls).localCheckpoint(false)
       val newSig = signature(ss)
       stable = newSig == sig
       sig = newSig

@@ -113,7 +113,12 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: random-hyperplane LSH buckets → verify
-    * cosine ≥ τ. Hyperplanes are deterministic (hash-derived). */
+    * cosine ≥ τ. Hyperplanes are deterministic (hash-derived).
+    *
+    * Scale shape: bucket rows and the candidate distinct carry ids only;
+    * the embedding vectors are re-attached to the DEDUPLICATED (a, b)
+    * pairs by two id-keyed joins — each vector crosses the shuffle once
+    * per pair, never once per shared bucket. */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
                      nPlanes: Int = 16, chunkBits: Int = 4)
                     (implicit spark: SparkSession): DataFrame = {
@@ -122,19 +127,23 @@ object Dedup {
       Similarity.hyperplanes(nPlanes, 64))
     val sigs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .map { case (id, v) =>
-        (id, v.toArray, Similarity.hyperplaneSig(v.toArray, planes.value))
-      }.toDF("vec_id", "v", "sig")
+        (id, Similarity.hyperplaneSig(v.toArray, planes.value))
+      }.toDF("vec_id", "sig")
     val nChunks = nPlanes / chunkBits
-    val chunked = sigs.select(col("vec_id"), col("v"),
+    val chunked = sigs.select(col("vec_id"),
       explode(array((0 until nChunks).map(c =>
         concat(lit(c + ":"), shiftright(col("sig"), c * chunkBits)
           .bitwiseAND(lit((1 << chunkBits) - 1).cast("long")))): _*)).as("bucket"))
-    val cand = chunked.select(col("vec_id").as("a"), col("v").as("va"), col("bucket"))
-      .join(chunked.select(col("vec_id").as("b"), col("v").as("vb"), col("bucket")), "bucket")
+    val cand = chunked.toDF("a", "bucket")
+      .join(chunked.toDF("b", "bucket"), "bucket")
       .filter(col("a") < col("b"))
-      .select("a", "b", "va", "vb").distinct()
+      .select("a", "b").distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val withVecs = cand
+      .join(vecs.toDF("a", "va"), "a")
+      .join(vecs.toDF("b", "vb"), "b")
     val cos = udf((x: Seq[Float], y: Seq[Float]) => TextFns.cosine(x.toArray, y.toArray))
-    cand.withColumn("cosine", cos(col("va"), col("vb")))
+    withVecs.withColumn("cosine", cos(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }

@@ -15,7 +15,8 @@ object Graph {
 
   /** Full ancestor closure: edges (child, parent) → (node, ancestor) pairs
     * for every node with at least one ancestor. BFS over levels; O(depth)
-    * rounds. */
+    * rounds. Novelty per round via left_anti against the accumulated
+    * closure — never a bag-semantics exceptAll re-shuffle of `acc`. */
   def ancestorClosure(edges: DataFrame, maxIter: Int = 64)
                      (implicit spark: SparkSession): DataFrame = {
     val e = edges.select(col("child"), col("parent")).localCheckpoint()
@@ -29,11 +30,11 @@ object Graph {
       val next = frontier.join(e, frontier("anc") === e("child"))
         .select(frontier("node"), e("parent").as("anc"))
         .distinct()
-        .exceptAll(acc).distinct()
+        .join(acc, Seq("node", "anc"), "left_anti")
         .localCheckpoint()
       done = next.isEmpty
       if (!done) {
-        acc = acc.union(next).distinct().localCheckpoint()
+        acc = acc.union(next).localCheckpoint()
         frontier = next
       }
       iter += 1
@@ -41,14 +42,35 @@ object Graph {
     acc
   }
 
-  /** G2 descendants of `roots`: nodes whose ancestor closure contains the
-    * root. */
-  def descendants(edges: DataFrame, roots: DataFrame)
-                 (implicit spark: SparkSession): DataFrame =
-    ancestorClosure(edges)
-      .join(roots.select(col("root")), col("anc") === col("root"))
-      .select(col("root"), col("node").as("descendant"))
-      .distinct()
+  /** G2 descendants of `roots`: frontier BFS DOWN the tree from the roots
+    * themselves (reversed edges), so the work is O(answer), never the full
+    * closure filtered after the fact — on a deep 100×-scale DAG the full
+    * closure is O(V·depth) rows to answer a question about a few roots. */
+  def descendants(edges: DataFrame, roots: DataFrame, maxIter: Int = 64)
+                 (implicit spark: SparkSession): DataFrame = {
+    val e = edges.select(col("child"), col("parent")).localCheckpoint()
+    val r = roots.select(col("root")).distinct()
+    var frontier = e.join(r, e("parent") === r("root"))
+      .select(col("root"), col("child").as("descendant"))
+      .distinct().localCheckpoint()
+    var acc = frontier
+    var iter = 0
+    var done = frontier.isEmpty
+    while (!done && iter < maxIter) {
+      val next = frontier.join(e, frontier("descendant") === e("parent"))
+        .select(frontier("root"), e("child").as("descendant"))
+        .distinct()
+        .join(acc, Seq("root", "descendant"), "left_anti")
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        acc = acc.union(next).localCheckpoint()
+        frontier = next
+      }
+      iter += 1
+    }
+    acc
+  }
 
   /** G4: isolate removal — nodes that appear in no edge. */
   def removeIsolates(nodes: DataFrame, edges: DataFrame): DataFrame = {

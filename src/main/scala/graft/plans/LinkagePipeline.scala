@@ -30,7 +30,12 @@ object LinkagePipeline {
   case class Result(assignments: DataFrame, // (id, component)
                     scored: DataFrame,      // (a, b, jw, lev_ratio, cos, score)
                     blockKeys: DataFrame,   // (id, key)
-                    keyFreq: DataFrame)     // (key, freq) skew report
+                    keyFreq: DataFrame,     // (key, freq) skew report
+                    persisted: Seq[DataFrame] = Seq.empty) {
+    /** Unpersist every DataFrame `run` cached — call once the outputs are
+      * materialized (or when evicting a memoized Result). */
+    def release(): Unit = persisted.foreach(_.unpersist())
+  }
 
   /** Extract mention nodes for labeled spans via typed cogroup — the doc text
     * is never replicated per mention (one pass per doc, J5 semantics with the
@@ -150,7 +155,8 @@ object LinkagePipeline {
         col("norm").as("mnorm"))
       .join(keysN.select(col("norm"), col("key")).distinct(), col("mnorm") === col("norm"))
       .select(col("id"), col("key"))
-    Result(assignments, scored, mentionKeys, keyFreq)
+    Result(assignments, scored, mentionKeys, keyFreq,
+      persisted = Seq(nodes, keysN, scored, components))
   }
 
   /** Checkpoint-resumable variant: every stage commits to `workDir` through
@@ -162,7 +168,8 @@ object LinkagePipeline {
                       hotKeyCap: Int = 1000,
                       failAfterStage: Option[String] = None)
                      (implicit spark: SparkSession): (Result, StageRunner) = {
-    val runner = new StageRunner(workDir, failAfterStage)
+    val runner = new StageRunner(workDir, failAfterStage,
+      config = s"weights=$weights,hotKeyCap=$hotKeyCap")
     val d = runner.stage("dict") { unambiguousDict(dict) }
     val nodes = runner.stage("nodes") { surfaceNodesOf(mentions, d) }
     val keysN = runner.stage("block_keys") { Blocking.blockKeysWithNorm(nodes) }

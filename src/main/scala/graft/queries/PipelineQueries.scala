@@ -39,35 +39,61 @@ object PipelineQueries {
       }, None),
 
     // embedding-cosine near-dup pairs (hyperplane LSH buckets, exact verify).
+    // The driver embeddings have no near-dups (max pairwise cosine ≈ 0.6),
+    // so the input is augmented with deterministic planted duplicates:
+    // every 10th vector re-enters scaled ×2 under vec_id+10_000_000.
+    // cosine is scale-invariant (planted pairs = exactly 1.0) and the
+    // hyperplane signature of 2v equals that of v (signs of dots are
+    // unchanged), so LSH recall on the planted pairs is GUARANTEED — which
+    // is what makes this exact-verifiable against the DuckDB oracle.
     QueryDef("dedup_embedding",
       (s, dir) => {
         implicit val sp = s
-        Dedup.embeddingPairs(t(s, dir, "embeddings"), threshold = 0.9)
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT))")
+              .as("embedding"))
+        Dedup.embeddingPairs(e.union(planted), threshold = 0.99)
           .withColumn("cosine", round(col("cosine"), 4))
-      }, None),
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |aug AS (SELECT vec_id, v FROM e
+             |        UNION ALL
+             |        SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
+             |        FROM e WHERE vec_id % 10 = 0),
+             |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+             |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+             |SELECT a, b, cosine FROM p WHERE cosine >= 0.99""".stripMargin)),
 
-    // Brute-force cosine top-5 — DuckDB-verifiable (round-before-rank).
+    // Brute-force cosine top-5 within the vector's class (the reference
+    // runs one kNN per body/find/proc class partition,
+    // `2nd Place/submission/infer.py:184-232`) — DuckDB-verifiable
+    // (round-before-rank).
     QueryDef("ann_topk",
       (s, dir) => {
         implicit val sp = s
-        Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
+        Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5,
+          classCol = Some("label"))
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
              |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
-             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label = b.label)
              |SELECT vec_id, neighbor_id, sim, rnk FROM (
              |  SELECT vec_id, neighbor_id, sim,
              |    row_number() OVER (PARTITION BY vec_id
              |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
              |WHERE rnk <= 5""".stripMargin)),
 
-    // LSH-bucketed ANN (the scale path; recall vs brute force asserted in
-    // SimilaritySpec).
+    // LSH-bucketed ANN, per-class buckets (the scale path; recall vs brute
+    // force asserted in SimilaritySpec).
     QueryDef("ann_lsh",
       (s, dir) => {
         implicit val sp = s
-        Similarity.lshTopK(t(s, dir, "embeddings"), k = 5)
+        Similarity.lshTopK(t(s, dir, "embeddings"), k = 5,
+          classCol = Some("label"))
       }, None),
 
     // Language identification (n-gram/stopword heuristic).
