@@ -110,8 +110,21 @@ object Synth {
   def restrictedSection(i: Int): Option[String] =
     if (i % 7 == 0) Some("past medical history") else None
 
+  // ---- attribute children (the J4 term-extension shape: a child concept
+  // whose FSN = one attribute word + the parent's name, linked by Is-A —
+  // `1st Place/src/process_data.py:369-417` harvests exactly these) ----
+  /** Attribute vocabulary: not in any other vocab list, not stop words. */
+  val attrWords: Vector[String] = Vector("left", "right", "upper", "lower")
+  def hasAttrChild(i: Int): Boolean = i % 6 == 0 && i % 50 != 49
+  def attrWord(i: Int): String = attrWords((i / 6) % attrWords.length)
+  /** Child SCTID: parent id + 8 — never collides with conceptId(j) = 100003+16j. */
+  def attrChildId(i: Int): Long = conceptId(i) + 8L
+  def attrChildName(i: Int): String = s"${attrWord(i)} ${conceptName(i)}"
+  def attrChildFsn(i: Int): String = s"${attrChildName(i)} (${hierarchy(i)})"
+
   def concepts(n: Int): Seq[Concept] =
-    (0 until n).map(i => Concept(conceptId(i), if (i % 50 == 49) 0 else 1))
+    (0 until n).map(i => Concept(conceptId(i), if (i % 50 == 49) 0 else 1)) ++
+      (0 until n).filter(hasAttrChild).map(i => Concept(attrChildId(i), 1))
 
   def descriptions(n: Int): Seq[Description] =
     (0 until n).flatMap { i =>
@@ -121,22 +134,33 @@ object Synth {
         Description(cid, fsn(i), "FSN", active),
         Description(cid, conceptName(i), "SYN", active),
         Description(cid, permSynonym(i), "SYN", active))
-    }
+    } ++ (0 until n).filter(hasAttrChild).map(i =>
+      Description(attrChildId(i), attrChildFsn(i), "FSN", 1))
 
-  /** Is-A tree with fan-out 5: parent(i) = (i-1)/5. */
+  /** Is-A tree with fan-out 5: parent(i) = (i-1)/5; plus one Is-A edge per
+    * attribute child → its parent. */
   def relationships(n: Int): Seq[Relationship] =
     (1 until n).map(i => Relationship(conceptId(i), conceptId((i - 1) / 5),
-      Relationship.IsA, if (i % 50 == 49) 0 else 1))
+      Relationship.IsA, if (i % 50 == 49) 0 else 1)) ++
+      (0 until n).filter(hasAttrChild).map(i =>
+        Relationship(attrChildId(i), conceptId(i), Relationship.IsA, 1))
 
   /** The linking dictionary: normalized term -> concept, 3 surface forms per
-    * active concept. */
-  def dictionary(n: Int): Seq[DictEntry] =
-    (0 until n).filter(i => i % 50 != 49).flatMap { i =>
+    * active concept. `includeAttrChildren=true` (default) adds the specific
+    * attribute-child terms — the full-terminology scenario; `false` models
+    * the reference's TRAINED dict that lacks the long specific forms, the
+    * situation the attribute postprocess rewrite exists for. */
+  def dictionary(n: Int, includeAttrChildren: Boolean = true): Seq[DictEntry] =
+    ((0 until n).filter(i => i % 50 != 49).flatMap { i =>
       val cid = conceptId(i)
       val section = restrictedSection(i).getOrElse("any")
       Seq(conceptName(i), permSynonym(i)).distinct.map(t =>
         DictEntry(section, TextFns.normalize(t), cid))
-    }.distinct
+    } ++ (if (includeAttrChildren)
+      (0 until n).filter(hasAttrChild).map { i =>
+        DictEntry(restrictedSection(i).getOrElse("any"),
+          TextFns.normalize(attrChildName(i)), attrChildId(i))
+      } else Seq.empty)).distinct
 
   // ---- synonym-mapping side tables (FIXTURES.md §4, OMOP/Athena analog) ----
   /** External vocabulary: ~20% of concepts mapped through a fake vocabulary
@@ -235,13 +259,21 @@ object Synth {
           while ((ci % 50 == 49 ||
                   restrictedSection(ci).exists(_ != TextFns.normalize(header))) &&
                  guard < nConcepts) { ci = (ci + 1) % nConcepts; guard += 1 }
-          val surface = surfaceVariant(ci, h(docIdx, mentionOcc, 31L))
+          // attribute mention (~1/3 of mentions of concepts with an
+          // attribute child): FIXED surface "attr + preferred name", gold
+          // span covers the attribute word and labels the CHILD concept —
+          // the shape `mimic_postprocess_attributes.py` rewrites to
+          val attrMention = hasAttrChild(ci) && hn(3, docIdx, mentionOcc, 53L) == 0
+          val surface =
+            if (attrMention) attrChildName(ci)
+            else surfaceVariant(ci, h(docIdx, mentionOcc, 31L))
+          val cid = if (attrMention) attrChildId(ci) else conceptId(ci)
           mentionOcc += 1
           val (pre, post) = sentenceTemplate(hn(6, docIdx, s.toLong, t.toLong, 37L))
           emitText(pre)
           val start = offset
           emitText(surface)
-          golds += GoldAnnotation(docId, start, start + surface.length, conceptId(ci))
+          golds += GoldAnnotation(docId, start, start + surface.length, cid)
           emitText(post + " ")
         } else {
           emitText(fillerSentence(h(docIdx, s.toLong, t.toLong, 41L)) + " ")

@@ -172,6 +172,62 @@ object LinkageQueries {
         Seq(("macro_char_iou_trained_dict", macroAvg)).toDF("metric", "value")
       }, None),
 
+    // J4/U3 term-extension attribute table (process_data.py:360-417): the
+    // 3-way Is-A ⋈ FSN join + word-set difference. Runs on the FIXED
+    // k=500 terminology (a terminology-side operator, independent of the
+    // corpus scale factor) so the DuckDB oracle — which regenerates the
+    // deterministic Synth terminology in SQL and emits the closed-form
+    // expected extensions — always matches.
+    QueryDef("dict_term_extension",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val k = 500
+        graft.operators.TermExtension.termExtensions(
+          s.createDataset(Synth.relationships(k)),
+          s.createDataset(Synth.descriptions(k)))
+      },
+      Some("""WITH v AS (SELECT
+             |  ['acute','chronic','severe','mild','recurrent','bilateral','persistent','intermittent','progressive','stable','diffuse','focal','congenital','degenerative','ischemic','benign','malignant','obstructive','superficial','residual','traumatic','postoperative','localized','generalized','secondary','primary','atypical','refractory','transient','subacute','latent','advanced'] AS adj,
+             |  ['femur','wrist','shoulder','kidney','liver','spleen','colon','retina','larynx','humerus','ankle','thyroid','bladder','pancreas','sternum','clavicle','scapula','trachea','duodenum','patella','radius','ulna','tibia','fibula','cornea','maxilla','mandible','vertebra','aorta','ventricle','atrium','ureter'] AS anat,
+             |  ['fracture','infection','lesion','stenosis','edema','hemorrhage','neoplasm','inflammation','occlusion','rupture','dislocation','hypertrophy','atrophy','fibrosis','necrosis','ulceration','abscess','contusion','laceration','thrombosis','aneurysm','calcification','degeneration','perforation','prolapse','erosion','dysplasia','effusion','granuloma','impingement','malformation','spasm'] AS nouns,
+             |  ['finding','procedure','body structure'] AS hiers,
+             |  ['left','right','upper','lower'] AS attrs),
+             |c AS (SELECT i, (i*10007)%32768 AS idx FROM range(500) t(i)
+             |      WHERE i%6=0 AND i%50<>49),
+             |named AS (SELECT i,
+             |  v.adj[1 + idx%32] || ' ' || v.anat[1 + (idx//32)%32] || ' ' || v.nouns[1 + idx//1024] AS name,
+             |  v.hiers[1 + i%3] AS hier, v.attrs[1 + (i//6)%4] AS attr
+             |  FROM c, v)
+             |SELECT CAST(100003 + 16*i AS BIGINT) AS general_id,
+             |  name || ' (' || hier || ')' AS general_name,
+             |  CAST(100003 + 16*i + 8 AS BIGINT) AS specific_id,
+             |  attr || ' ' || name || ' (' || hier || ')' AS specific_name,
+             |  attr AS additional_word
+             |FROM named""".stripMargin)),
+
+    // W3/F18 attribute postprocess (mimic_postprocess_attributes.py:6-105):
+    // gazetteer annotations re-examined in a prev/next-bounded ±20-char
+    // window; mentions of a general concept preceded by an attribute word
+    // are rewritten to the specific child (span extended over the word)
+    QueryDef("linkage_postprocess",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val n = corpusSize(dir)
+        val k = numConcepts(n)
+        val ds = docs(s, n)
+        // trained-dict scenario: the specific child terms are NOT in the
+        // matching dictionary — the rewrite stage is what recovers them
+        val baseDict = s.createDataset(
+          Synth.dictionary(k, includeAttrChildren = false))
+        val base = OverlapResolve.apply(DictionaryMatch.annotate(ds, baseDict))
+        val att = graft.operators.TermExtension.termExtensions(
+          s.createDataset(Synth.relationships(k)),
+          s.createDataset(Synth.descriptions(k)))
+        graft.operators.AttributeRewrite.apply(ds, base, att).toDF()
+      }, None),
+
     // chunking relation (C2/C3) over the interleaved docs
     QueryDef("chunking",
       (s, dir) => {
