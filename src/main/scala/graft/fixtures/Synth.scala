@@ -149,8 +149,14 @@ object Synth {
     * active concept. `includeAttrChildren=true` (default) adds the specific
     * attribute-child terms — the full-terminology scenario; `false` models
     * the reference's TRAINED dict that lacks the long specific forms, the
-    * situation the attribute postprocess rewrite exists for. */
-  def dictionary(n: Int, includeAttrChildren: Boolean = true): Seq[DictEntry] =
+    * situation the attribute postprocess rewrite exists for.
+    * `includeAbbrs=true` (default) adds the normalized (lowercase) initials
+    * terms so the LINKAGE pipeline can resolve abbreviation surfaces; the
+    * case-folded annotate path must instead use `includeAbbrs=false` +
+    * `ucDictionary` (matching "the" in running text against an initialism
+    * "THE" is exactly the false-positive family the uc-dict prevents). */
+  def dictionary(n: Int, includeAttrChildren: Boolean = true,
+                 includeAbbrs: Boolean = true): Seq[DictEntry] =
     ((0 until n).filter(i => i % 50 != 49).flatMap { i =>
       val cid = conceptId(i)
       val section = restrictedSection(i).getOrElse("any")
@@ -160,7 +166,12 @@ object Synth {
       (0 until n).filter(hasAttrChild).map { i =>
         DictEntry(restrictedSection(i).getOrElse("any"),
           TextFns.normalize(attrChildName(i)), attrChildId(i))
-      } else Seq.empty)).distinct
+      } else Seq.empty)
+      ++ (if (includeAbbrs)
+      (0 until n).flatMap(i => abbrOf(i, n).map(a =>
+        DictEntry(restrictedSection(i).getOrElse("any"),
+          TextFns.normalize(a), conceptId(i))))
+      else Seq.empty)).distinct
 
   // ---- synonym-mapping side tables (FIXTURES.md §4, OMOP/Athena analog) ----
   /** External vocabulary: ~20% of concepts mapped through a fake vocabulary
@@ -187,8 +198,56 @@ object Synth {
   def abbreviations(n: Int): Seq[Abbreviation] =
     (0 until n).filter(_ % 4 == 0).map { i =>
       val name = conceptName(i)
-      Abbreviation(name.split(' ').map(_.head.toUpper).mkString, name)
+      Abbreviation(initials(i), name)
     }
+
+  // ---- uppercase-only abbreviation mentions (the F10/uc-dict shape:
+  // `1st Place/src/mimic_train.py:extract_uppercase_mentions` +
+  // `mimic_predict.py:31-49` case-sensitive dict) ----
+  def initials(i: Int): String = conceptName(i).split(' ').map(_.head.toUpper).mkString
+
+  /** Homograph abbreviations: uppercase forms of words common in running
+    * text — the reference's real uc-dict cases ("RA" room air vs "Ra",
+    * "MR" mitral regurgitation vs "Mr"). Matching these case-FOLDED floods
+    * the corpus with false positives; matching them case-SENSITIVELY is the
+    * uc-dict's purpose. */
+  val homographAbbrs: Vector[String] =
+    Vector("THE", "PLAN", "TEAM", "DIET", "LABS", "EXAM", "WELL", "REVIEW")
+
+  /** Deterministic abbreviation assignment: every 4th active concept is a
+    * candidate; ~1 in 5 candidates (first-come) takes the next homograph
+    * abbreviation, the rest take their initials; duplicate strings are
+    * dropped (first concept wins) so every planted abbreviation maps to
+    * exactly one concept. Pure function of n, cached per JVM. */
+  private val abbrAssignCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.HashMap[Integer, String]]()
+  def abbrAssignments(n: Int): java.util.HashMap[Integer, String] =
+    abbrAssignCache.computeIfAbsent(n, _ => {
+      val out = new java.util.HashMap[Integer, String]()
+      val used = new java.util.HashSet[String]()
+      var nextHomograph = 0
+      var i = 0
+      while (i < n) {
+        if (i % 4 == 0 && i % 50 != 49) {
+          val wantsHomograph =
+            hn(5, i.toLong, 61L) == 0 && nextHomograph < homographAbbrs.length
+          val abbr =
+            if (wantsHomograph) { val a = homographAbbrs(nextHomograph); nextHomograph += 1; a }
+            else initials(i)
+          if (used.add(abbr)) out.put(i, abbr)
+        }
+        i += 4
+      }
+      out
+    })
+  def abbrOf(i: Int, n: Int): Option[String] = Option(abbrAssignments(n).get(Integer.valueOf(i)))
+  def isAbbrPlanted(i: Int, n: Int): Boolean = abbrAssignments(n).containsKey(Integer.valueOf(i))
+
+  /** The case-sensitive dictionary: UPPERCASE abbreviation → concept, for
+    * the planted abbreviation concepts (the uc-dict inference input). */
+  def ucDictionary(n: Int): Seq[DictEntry] =
+    (0 until n).flatMap(i => abbrOf(i, n).map(a =>
+      DictEntry(restrictedSection(i).getOrElse("any"), a, conceptId(i))))
 
   // ---- docs ----
   /** Surface-form variant of concept i for planting occurrence `occ`:
@@ -264,8 +323,13 @@ object Synth {
           // span covers the attribute word and labels the CHILD concept —
           // the shape `mimic_postprocess_attributes.py` rewrites to
           val attrMention = hasAttrChild(ci) && hn(3, docIdx, mentionOcc, 53L) == 0
+          // abbreviation mention (~1/4 of mentions of planted-initialism
+          // concepts): UPPERCASE initials — uc-dict shape (F10)
+          val abbrMention = !attrMention && isAbbrPlanted(ci, nConcepts) &&
+            hn(4, docIdx, mentionOcc, 59L) == 0
           val surface =
             if (attrMention) attrChildName(ci)
+            else if (abbrMention) abbrOf(ci, nConcepts).get
             else surfaceVariant(ci, h(docIdx, mentionOcc, 31L))
           val cid = if (attrMention) attrChildId(ci) else conceptId(ci)
           mentionOcc += 1

@@ -35,10 +35,13 @@ object TextFns {
   }
 
   /** Token = maximal run of letters/digits. Returns (token, start, end)
-    * with [start,end) offsets into the ORIGINAL string; tokens lowercased.
-    * Boundary guard of the reference (`text[i-1].isalnum()` check at
+    * with [start,end) offsets into the ORIGINAL string; tokens lowercased
+    * unless `preserveCase` (the case-sensitive uc-dict path,
+    * `1st Place/src/mimic_predict.py:31-49`). Boundary guard of the
+    * reference (`text[i-1].isalnum()` check at
     * `1st Place/src/mimic_common.py:141`) holds by construction. */
-  def tokensWithOffsets(text: String): IndexedSeq[(String, Int, Int)] = {
+  def tokensWithOffsets(text: String,
+                        preserveCase: Boolean = false): IndexedSeq[(String, Int, Int)] = {
     val out = IndexedSeq.newBuilder[(String, Int, Int)]
     var i = 0
     val n = text.length
@@ -46,10 +49,28 @@ object TextFns {
       if (Character.isLetterOrDigit(text.charAt(i))) {
         val st = i
         while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
-        out += ((text.substring(st, i).toLowerCase, st, i))
+        val tok = text.substring(st, i)
+        out += ((if (preserveCase) tok else tok.toLowerCase, st, i))
       } else i += 1
     }
     out.result()
+  }
+
+  /** Case-PRESERVING canonical form (non-alnum runs → single space) — the
+    * key normalization of the case-sensitive dictionary. */
+  def normalizeCased(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevSpace = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) { sb.append(c); prevSpace = false }
+      else if (!prevSpace) { sb.append(' '); prevSpace = true }
+      i += 1
+    }
+    var n = sb.length
+    if (n > 0 && sb.charAt(n - 1) == ' ') n -= 1
+    sb.substring(0, n)
   }
 
   /** Character n-grams; a string shorter than n emits itself as one gram. */

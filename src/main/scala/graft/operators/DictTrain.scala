@@ -154,21 +154,58 @@ object DictTrain {
       .filter(col("uc_ratio") > 0.99)
   }
 
-  /** The full training pipeline: harvested + terminology + external +
-    * abbreviation entries, expanded, then score-pruned. */
-  def trainDictionary(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
-                      concepts: Dataset[Concept], descriptions: Dataset[Description],
-                      extConcepts: DataFrame, extMappings: DataFrame, abbr: DataFrame,
-                      theta: Double = 0.3)
-                     (implicit spark: SparkSession): Dataset[DictEntry] = {
+  /** The full training pipeline, split into (lowercase dict, case-sensitive
+    * uppercase dict) — the two dictionaries of the 1st-place inference
+    * (`mimic_train.py:extract_uppercase_mentions` + `mimic_predict.py:31-49`):
+    * harvested + terminology + external + abbreviation entries, expanded;
+    * keys whose gold surfaces are ≥99% uppercase move UPPERCASED into the
+    * case-sensitive dict (they would otherwise fire on their lowercase
+    * homographs — "the" vs initialism "THE"); the lowercase remainder is
+    * score-pruned. */
+  def trainDictionarySplit(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
+                           concepts: Dataset[Concept], descriptions: Dataset[Description],
+                           extConcepts: DataFrame, extMappings: DataFrame, abbr: DataFrame,
+                           theta: Double = 0.3)
+                          (implicit spark: SparkSession): (Dataset[DictEntry], Dataset[DictEntry]) = {
     import spark.implicits._
     val harvested = dictFromAnnotations(docs, golds)
     val term = dictFromTerminology(concepts, descriptions)
     val ext = dictFromExternal(extConcepts, extMappings)
     val base = expandEntries(harvested.union(term).union(ext)).distinct()
     val withAbbr = base.union(abbreviationEntries(abbr, base)).distinct()
-    pruneByScore(docs, golds, withAbbr, theta)
+    val ucNorms = uppercaseMentions(docs, golds).select(col("norm"))
+    val ucDict = withAbbr.toDF().join(ucNorms, col("mention") === col("norm"))
+      .select(col("section"), upper(col("mention")).as("mention"), col("concept_id"))
+      .distinct().as[DictEntry]
+    val lcDict = withAbbr.toDF()
+      .join(ucNorms, col("mention") === col("norm"), "left_anti")
+      .as[DictEntry]
+    (pruneByScore(docs, golds, lcDict, theta), ucDict)
   }
+
+  /** Combined view of the split dictionaries (uc entries carry UPPERCASE
+    * mentions — the case marker IS the key). */
+  def trainDictionary(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
+                      concepts: Dataset[Concept], descriptions: Dataset[Description],
+                      extConcepts: DataFrame, extMappings: DataFrame, abbr: DataFrame,
+                      theta: Double = 0.3)
+                     (implicit spark: SparkSession): Dataset[DictEntry] = {
+    import spark.implicits._
+    val (lc, uc) = trainDictionarySplit(docs, golds, concepts, descriptions,
+      extConcepts, extMappings, abbr, theta)
+    lc.toDF().toDF("section", "mention", "concept_id")
+      .union(uc.toDF().toDF("section", "mention", "concept_id"))
+      .as[DictEntry]
+  }
+
+  /** The 1st-place two-pass inference: lowercase-dict annotate ∪
+    * case-sensitive uc-dict annotate → per-doc overlap resolution
+    * (`mimic_predict.py:31-49` + join_predictions). */
+  def infer(docs: Dataset[Doc], lcDict: Dataset[DictEntry], ucDict: Dataset[DictEntry])
+           (implicit spark: SparkSession): Dataset[Annotation] =
+    DictionaryMatch.joinPredictions(
+      DictionaryMatch.annotate(docs, lcDict),
+      DictionaryMatch.annotate(docs, ucDict, caseSensitive = true))
 
   val normalizeUdf = udf((s: String) => TextFns.normalize(s))
 }

@@ -34,10 +34,15 @@ object DictionaryMatch {
     * n-grams that start with some dictionary term's first token — on real
     * corpora that is a ~10× cut in candidate allocation (most tokens start
     * no dictionary term), which is what lets this stage scale with cores
-    * instead of saturating the allocator. `null` disables the filter. */
+    * instead of saturating the allocator. `null` disables the filter.
+    * `caseSensitive` keeps token case (the uc-dict second pass,
+    * `1st Place/src/mimic_predict.py:31-49`: a separate dictionary of
+    * uppercase-only mentions — "K", "THE" — that must NOT fire on their
+    * lowercase homographs). */
   def candidates(docId: String, text: String, maxTokens: Int, minStart: Int,
-                 firstTokens: java.util.Set[String] = null): Seq[Cand] = {
-    val toks = TextFns.tokensWithOffsets(text)
+                 firstTokens: java.util.Set[String] = null,
+                 caseSensitive: Boolean = false): Seq[Cand] = {
+    val toks = TextFns.tokensWithOffsets(text, preserveCase = caseSensitive)
     if (toks.isEmpty) return Seq.empty
     val secs = Sectioning.sections(docId, text)
     val headerLines = Sectioning.headerLineRanges(text)
@@ -81,9 +86,13 @@ object DictionaryMatch {
   }
 
   /** Distributed gazetteer annotation: docs ⋈ broadcast(dict).
-    * Result spans still overlap — feed through OverlapResolve. */
+    * Result spans still overlap — feed through OverlapResolve.
+    * `caseSensitive=true` runs the uc-dict pass: dict mentions are matched
+    * against case-PRESERVED doc n-grams (dict entries must then carry the
+    * exact-cased mention, e.g. "THE"). */
   def annotate(docs: Dataset[Doc], dict: Dataset[DictEntry],
-               maxTokens: Int = 6, minStart: Int = 100)
+               maxTokens: Int = 6, minStart: Int = 100,
+               caseSensitive: Boolean = false)
               (implicit spark: SparkSession): Dataset[Annotation] = {
     import spark.implicits._
     // first-token prefix filter: the dictionary is broadcast-scale by
@@ -99,7 +108,7 @@ object DictionaryMatch {
     }
     val ftB = spark.sparkContext.broadcast(firstTokens)
     val cands = docs.flatMap(d =>
-      candidates(d.doc_id, d.text, maxTokens, minStart, ftB.value))
+      candidates(d.doc_id, d.text, maxTokens, minStart, ftB.value, caseSensitive))
     val d = dict.toDF("dsection", "dkey", "concept_id")
     // No distinct: a span can match a dict term via exactly one key (the
     // exact and destemmed keys are different strings and dict terms are
@@ -118,4 +127,18 @@ object DictionaryMatch {
   /** Max token length of any dictionary term — drives candidate n-gram depth. */
   def maxDictTokens(dict: Seq[DictEntry]): Int =
     if (dict.isEmpty) 1 else dict.iterator.map(_.mention.count(_ == ' ') + 1).max
+
+  /** The reference's join_predictions (`1st Place/src/mimic_predict.py:43-49`):
+    * concatenate the lowercase-dict and uppercase-dict prediction passes,
+    * then resolve overlaps per doc. Children are re-aliased through toDF —
+    * unioning two plans rooted at the same doc leaf otherwise trips
+    * Union.rewriteConstraints on shared attribute ids (Spark 4.1.2). */
+  def joinPredictions(preds: Dataset[Annotation]*)
+                     (implicit spark: SparkSession): Dataset[Annotation] = {
+    import spark.implicits._
+    val u = preds.map(_.toDF()
+        .toDF("doc_id", "start", "end", "concept_id", "section", "dict_entry"))
+      .reduce(_ union _).as[Annotation]
+    OverlapResolve.apply(u)
+  }
 }

@@ -72,12 +72,17 @@ object LinkageQueries {
     runCache.clear()
   }
 
-  /** The 1st-place inference path (SURVEY §3.1): gazetteer annotate →
-    * overlap resolve → flat annotation table. */
+  /** The 1st-place inference path (SURVEY §3.1), both passes: lowercase
+    * gazetteer annotate + case-sensitive uc-dict annotate → join_predictions
+    * (per-doc overlap resolve) → flat annotation table. */
   def annotate(spark: SparkSession, sfDir: String): Dataset[Annotation] = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     val n = corpusSize(sfDir)
-    OverlapResolve.apply(DictionaryMatch.annotate(docs(spark, n), dict(spark, n)))
+    val k = numConcepts(n)
+    val lc = spark.createDataset(Synth.dictionary(k, includeAbbrs = false))
+    val uc = spark.createDataset(Synth.ucDictionary(k))
+    graft.operators.DictTrain.infer(docs(spark, n), lc, uc)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -151,21 +156,21 @@ object LinkageQueries {
           s.createDataset(Synth.abbreviations(k)).toDF()).toDF()
       }, None),
 
-    // end-to-end retrain-then-infer: macro char IoU using the TRAINED dict
+    // end-to-end retrain-then-infer: macro char IoU using the TRAINED
+    // (lc, uc) dictionary pair through the two-pass inference
     QueryDef("dict_train_iou",
       (s, dir) => {
         implicit val sp: SparkSession = s
         import s.implicits._
         val n = corpusSize(dir)
         val k = numConcepts(n)
-        val trained = graft.operators.DictTrain.trainDictionary(
+        val (lc, uc) = graft.operators.DictTrain.trainDictionarySplit(
           docs(s, n), gold(s, n),
           s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
           s.createDataset(Synth.extConcepts(k)).toDF(),
           s.createDataset(Synth.extMappings(k)).toDF(),
           s.createDataset(Synth.abbreviations(k)).toDF())
-        val pred = graft.operators.OverlapResolve.apply(
-          graft.operators.DictionaryMatch.annotate(docs(s, n), trained)).toDF()
+        val pred = graft.operators.DictTrain.infer(docs(s, n), lc, uc).toDF()
         val (_, macroAvg) = Metrics.macroCharIou(
           pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),
           gold(s, n).toDF())
@@ -220,7 +225,7 @@ object LinkageQueries {
         // trained-dict scenario: the specific child terms are NOT in the
         // matching dictionary — the rewrite stage is what recovers them
         val baseDict = s.createDataset(
-          Synth.dictionary(k, includeAttrChildren = false))
+          Synth.dictionary(k, includeAttrChildren = false, includeAbbrs = false))
         val base = OverlapResolve.apply(DictionaryMatch.annotate(ds, baseDict))
         val att = graft.operators.TermExtension.termExtensions(
           s.createDataset(Synth.relationships(k)),

@@ -113,7 +113,7 @@ class AttributeRewriteSpec extends AnyFunSuite with SparkTestBase {
     val docs = spark.createDataset(docsSeq)
     val base = OverlapResolve.apply(
       DictionaryMatch.annotate(docs,
-        spark.createDataset(Synth.dictionary(nc, includeAttrChildren = false))))
+        spark.createDataset(Synth.dictionary(nc, includeAttrChildren = false, includeAbbrs = false))))
     val att = TermExtension.termExtensions(
       spark.createDataset(Synth.relationships(nc)),
       spark.createDataset(Synth.descriptions(nc)))
@@ -144,7 +144,7 @@ class AttributeRewriteSpec extends AnyFunSuite with SparkTestBase {
     val golds = spark.createDataset(goldsSeq).toDF()
     val base = OverlapResolve.apply(
       DictionaryMatch.annotate(docs,
-        spark.createDataset(Synth.dictionary(nc, includeAttrChildren = false))))
+        spark.createDataset(Synth.dictionary(nc, includeAttrChildren = false, includeAbbrs = false))))
     val att = TermExtension.termExtensions(
       spark.createDataset(Synth.relationships(nc)),
       spark.createDataset(Synth.descriptions(nc)))
