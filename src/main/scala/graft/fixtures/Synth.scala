@@ -306,9 +306,18 @@ object Synth {
       // distinct headers per doc: rotate through the gazetteer
       val header = headers((hn(headers.length, docIdx, 17L) + s * 3) % headers.length)
       emitText("\n" + header + ":\n")
+      // no gold mentions inside veto sections (medications/service/DOB):
+      // the reference's corpus carries no annotations there and its
+      // matcher refuses them (`1st Place/src/mimic_common.py:148`) — a
+      // planted mention in one would be unmatchable by construction
+      val vetoSection = {
+        val h = header.toLowerCase
+        h.contains("medication") || h.contains("service") || h.contains("date of birth")
+      }
       val nSent = 1 + hn(3, docIdx, s.toLong, 19L)
       for (t <- 0 until nSent) {
-        val withMention = hn(4, docIdx, s.toLong, t.toLong, 23L) != 0 // 75% of sentences
+        val withMention = !vetoSection &&
+          hn(4, docIdx, s.toLong, t.toLong, 23L) != 0 // 75% of sentences
         if (withMention) {
           // pick a concept legal for this section
           val raw = hn(nConcepts, docIdx, s.toLong, t.toLong, 29L)

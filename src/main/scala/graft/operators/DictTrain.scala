@@ -142,6 +142,207 @@ object DictTrain {
       .as[DictEntry]
   }
 
+  // ------------------------------------------------------------------
+  // M5/W4: two-pointer as-of scoring (`mimic_train.py:89-134`)
+  // ------------------------------------------------------------------
+
+  /** overlap_score (`mimic_train.py:124-134`), transcribed: −1 wrong-side /
+    * wrong-concept / single-word-inexact-span, 0 "might overlap the next
+    * ref", +1 exact span or multi-word mention on the right concept. */
+  def overlapScore(refStart: Int, refEnd: Int, annStart: Int, annEnd: Int,
+                   refCid: Long, annCid: Long, mention: String): Int =
+    if (refStart > annStart) -1
+    else if (refEnd < annStart) 0
+    else if (refCid == annCid) {
+      if ((refStart == annStart && refEnd == annEnd) || mention.contains(' ')) 1 else -1
+    } else -1
+
+  /** compare_ref_pred (`mimic_train.py:89-122`), transcribed (including its
+    * `i_ref + 1 < n_ref - 1` advance guard): refs and predictions sorted by
+    * start (ties pinned (end, concept) for determinism), one forward pointer
+    * into the refs, each prediction scored against the as-of ref and — on 0
+    * — the next one. Pure per-doc (driver oracle + executor). */
+  def scoreDocPredictions(refs: IndexedSeq[GoldAnnotation],
+                          anns: IndexedSeq[Annotation]): Seq[(Annotation, Int)] = {
+    if (refs.isEmpty) return anns.map(a => (a, -1))
+    val nRef = refs.length
+    var iRef = 0
+    anns.map { a =>
+      while (iRef + 1 < nRef - 1 && refs(iRef + 1).start <= a.start) iRef += 1
+      var score = overlapScore(refs(iRef).start, refs(iRef).end, a.start, a.end,
+        refs(iRef).concept_id, a.concept_id, a.dict_entry)
+      if (score == 0 && iRef + 1 < nRef - 1)
+        score = overlapScore(refs(iRef + 1).start, refs(iRef + 1).end, a.start, a.end,
+          refs(iRef + 1).concept_id, a.concept_id, a.dict_entry)
+      (a, if (score == 0) -1 else score)
+    }
+  }
+
+  /** score_dict distributed (`mimic_train.py:67-87`): annotate with
+    * KEEP_OVERLAPS (the raw gazetteer output, pre-resolution), score each
+    * prediction ±1 via the two-pointer alignment → rows
+    * (doc_id, section, mention, score). */
+  def scoredPredictions(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
+                        dict: Dataset[DictEntry])
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pred = DictionaryMatch.annotate(docs, dict)
+    golds.groupByKey(_.doc_id).cogroup(pred.groupByKey(_.doc_id)) { (docId, gIt, pIt) =>
+      val refs = gIt.toIndexedSeq.sortBy(r => (r.start, r.end, r.concept_id))
+      val anns = pIt.toIndexedSeq.sortBy(a => (a.start, a.end, a.concept_id))
+      scoreDocPredictions(refs, anns).iterator
+        .map { case (a, s) => (docId, a.section, a.dict_entry, s) }
+    }.toDF("doc_id", "section", "mention", "score")
+  }
+
+  /** scores_by_note counts (`mimic_train.py:351-359`): per (key, note) at
+    * most one +1 and one −1; n_correct/n_incorrect = notes with each. */
+  def keyScoresByNote(scored: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"), col("section"), col("mention"))
+      .agg(max(when(col("score") === 1, 1).otherwise(0)).as("has1"),
+        max(when(col("score") === -1, 1).otherwise(0)).as("hasm1"))
+      .groupBy(col("section"), col("mention"))
+      .agg(sum(col("has1")).as("n_correct"), sum(col("hasm1")).as("n_incorrect"))
+
+  /** scores_by_mention counts: every scored occurrence tallied. */
+  def keyScoresByMention(scored: DataFrame): DataFrame =
+    scored.groupBy(col("section"), col("mention"))
+      .agg(sum(when(col("score") === 1, 1).otherwise(0)).as("n_correct"),
+        sum(when(col("score") === -1, 1).otherwise(0)).as("n_incorrect"))
+
+  // ------------------------------------------------------------------
+  // O6: key removal — naive threshold + greedy marginal-improvement loop
+  // ------------------------------------------------------------------
+
+  /** is_naive_key_remove (`mimic_train.py:314-324`): θ = thAny for "any"
+    * keys else thDict, doubled under `doubleThr`, forced to 1 when exactly
+    * one correct; remove when correct < θ·incorrect. */
+  def naiveRemove(correct: Long, incorrect: Long, section: String,
+                  doubleThr: Boolean = false,
+                  thAny: Double = 0.3, thDict: Double = 0.2): Boolean = {
+    var th = if (section == "any") thAny else thDict
+    if (doubleThr) th *= 2
+    if (correct == 1) th = 1
+    correct < th * incorrect
+  }
+
+  /** remove_bad_keys distributed (`mimic_train.py:243-263`): keys failing
+    * the naive rule on their BY-NOTE counts are dropped; unscored keys are
+    * kept. */
+  def pruneNaiveKeys(dict: Dataset[DictEntry], byNote: DataFrame,
+                     thAny: Double = 0.3, thDict: Double = 0.2)
+                    (implicit spark: SparkSession): Dataset[DictEntry] = {
+    import spark.implicits._
+    val removeUdf = udf((c: Long, i: Long, s: String) =>
+      naiveRemove(c, i, s, doubleThr = false, thAny, thDict))
+    dict.toDF().join(byNote, Seq("section", "mention"), "left_outer")
+      .filter(col("n_correct").isNull ||
+        !removeUdf(col("n_correct"), col("n_incorrect"), col("section")))
+      .select(col("section"), col("mention"), col("concept_id"))
+      .as[DictEntry]
+  }
+
+  /** get_bad_keys_for_concept (`mimic_train.py:291-311`), pure: keys sorted
+    * by correct/(incorrect+0.01) desc (ties pinned (section, mention) asc),
+    * accepted while the running correct/(incorrect+n) stays below the key's
+    * ratio or the naive rule (doubled θ past the 3rd key) passes. */
+  def badKeysForConcept(scores: Seq[((String, String), (Long, Long))], n: Long,
+                        thAny: Double = 0.3, thDict: Double = 0.2): Seq[(String, String)] = {
+    require(n > 0, "concept must have gold annotations")
+    val ordered = scores.sortBy { case ((sec, m), (c, i)) =>
+      (-c.toDouble / (i + 0.01), sec, m)
+    }
+    var correct = 0L
+    var incorrect = 0L
+    val bad = Seq.newBuilder[(String, String)]
+    ordered.zipWithIndex.foreach { case (((sec, m), (c, i)), idx) =>
+      val currScore = correct.toDouble / (incorrect + n)
+      val ratio = c.toDouble / (i + 0.01)
+      if (currScore < ratio || !naiveRemove(c, i, sec, doubleThr = idx > 2, thAny, thDict)) {
+        correct += c; incorrect += i
+      } else bad += ((sec, m))
+    }
+    bad.result()
+  }
+
+  /** yuvals_key_selection distributed (`mimic_train.py:266-289`): per gold
+    * concept, the greedy loop over its scored keys (small groups →
+    * flatMapGroups); keys of concepts absent from gold, or never scored,
+    * are kept. */
+  def pruneGreedyKeys(dict: Dataset[DictEntry], byMention: DataFrame,
+                      golds: Dataset[GoldAnnotation],
+                      thAny: Double = 0.3, thDict: Double = 0.2)
+                     (implicit spark: SparkSession): Dataset[DictEntry] = {
+    import spark.implicits._
+    val goldCounts = golds.toDF().groupBy(col("concept_id"))
+      .agg(count(lit(1)).as("n_gold"))
+    val scoredKeys = dict.toDF()
+      .join(byMention, Seq("section", "mention"))
+      .join(goldCounts, Seq("concept_id")) // only concepts with gold are visited
+      .select(col("concept_id"), col("section"), col("mention"),
+        col("n_correct"), col("n_incorrect"), col("n_gold"))
+      .as[(Long, String, String, Long, Long, Long)]
+    val badKeys = scoredKeys.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toSeq
+      val n = rows.head._6
+      badKeysForConcept(
+        rows.map(r => ((r._2, r._3), (r._4, r._5))), n, thAny, thDict).iterator
+    }.toDF("section", "mention")
+    dict.toDF().join(badKeys, Seq("section", "mention"), "left_anti")
+      .select(col("section"), col("mention"), col("concept_id"))
+      .as[DictEntry]
+  }
+
+  // ------------------------------------------------------------------
+  // limit_any_to_allowed_sections (`mimic_train.py:382-410`)
+  // ------------------------------------------------------------------
+
+  /** concept → type from the FSN tag (reference cid_to_type,
+    * `mimic_train.py:165-175` without the replacement folding — our synth
+    * types are already canonical). */
+  def conceptTypes(descriptions: Dataset[Description]): DataFrame =
+    descriptions.toDF()
+      .filter(col("active") === 1 && col("typ") === "FSN")
+      .select(col("concept_id"),
+        regexp_extract(col("term"), "\\(([^)]*)\\)\\s*$", 1).as("ctype"))
+      .filter(col("ctype") =!= "")
+      .dropDuplicates("concept_id")
+
+  /** (type, section) pairs observed in gold (`get_cid_type_sections_pairs`). */
+  def allowedSections(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
+                      cidToType: DataFrame)
+                     (implicit spark: SparkSession): DataFrame = {
+    val mentions = LinkagePipeline.mentionsFromSpans(docs, golds).toDF()
+      .select(col("doc_id"), col("start"), col("end"), col("section"))
+    mentions.join(golds.toDF(), Seq("doc_id", "start", "end"))
+      .join(cidToType, "concept_id")
+      .select(col("ctype"), col("section"))
+      .distinct()
+  }
+
+  /** "any" keys narrowed to the sections where their concept's TYPE was
+    * observed in training (`limit_any_to_allowed_sections`); keys whose
+    * concept has no known type — or whose type was never observed — keep
+    * their "any" scope (the reference skips unknown cids). */
+  def limitAnyToAllowedSections(dict: Dataset[DictEntry], allowed: DataFrame,
+                                cidToType: DataFrame)
+                               (implicit spark: SparkSession): Dataset[DictEntry] = {
+    import spark.implicits._
+    val anyRows = dict.toDF().filter(col("section") === "any")
+      .join(broadcast(cidToType), Seq("concept_id"), "left_outer")
+    val limited = anyRows.filter(col("ctype").isNotNull)
+      .join(broadcast(allowed.withColumnRenamed("section", "allowed_section")), "ctype")
+      .select(col("allowed_section").as("section"), col("mention"), col("concept_id"))
+    val keptAny = anyRows
+      .join(broadcast(allowed.select(col("ctype")).distinct()), Seq("ctype"), "left_anti")
+      .select(lit("any").as("section"), col("mention"), col("concept_id"))
+    dict.toDF().filter(col("section") =!= "any")
+      .select(col("section"), col("mention"), col("concept_id"))
+      .union(limited).union(keptAny)
+      .distinct()
+      .as[DictEntry]
+  }
+
   /** F10: mentions whose gold occurrences are ≥99% uppercase in the raw text
     * (the reference builds a separate case-sensitive dict from these). */
   def uppercaseMentions(docs: Dataset[Doc], golds: Dataset[GoldAnnotation])
@@ -165,22 +366,65 @@ object DictTrain {
   def trainDictionarySplit(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
                            concepts: Dataset[Concept], descriptions: Dataset[Description],
                            extConcepts: DataFrame, extMappings: DataFrame, abbr: DataFrame,
-                           theta: Double = 0.3)
+                           thAny: Double = 0.3, thDict: Double = 0.2,
+                           greedy: Boolean = true, limitAny: Boolean = true)
                           (implicit spark: SparkSession): (Dataset[DictEntry], Dataset[DictEntry]) = {
     import spark.implicits._
+    // 1. harvest (mock_train's build_dict + unique-majority)
     val harvested = dictFromAnnotations(docs, golds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. uc split FIRST (vs the reference's post-scoring
+    //    extract_uppercase_mentions): an uppercase-only key scored by the
+    //    case-FOLDED matcher drowns in its lowercase homographs ("THE" vs
+    //    "the") and gets pruned before the split could rescue it — which is
+    //    why the reference ships a hand-curated uc dict
+    //    (`mimic_predict.py:get_case_sensitive_dict`). Splitting before
+    //    scoring derives that dict instead of hardcoding it.
+    val ucNorms = uppercaseMentions(docs, golds).select(col("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def splitUc(d: Dataset[DictEntry]): (Dataset[DictEntry], Dataset[DictEntry]) = {
+      val uc = d.toDF().join(ucNorms, col("mention") === col("norm"))
+        .select(col("section"), upper(col("mention")).as("mention"), col("concept_id"))
+        .distinct().as[DictEntry]
+      val lc = d.toDF().join(ucNorms, col("mention") === col("norm"), "left_anti")
+        .as[DictEntry]
+      (lc, uc)
+    }
+    val (lcHarvested, ucHarvested) = splitUc(harvested)
+    // 3. score the lowercase harvested dict with the two-pointer alignment,
+    //    then naive by-note removal + greedy per-concept refinement
+    val scored = scoredPredictions(docs, golds, lcHarvested)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val naive = pruneNaiveKeys(lcHarvested, keyScoresByNote(scored), thAny, thDict)
+    val core =
+      if (greedy) pruneGreedyKeys(naive, keyScoresByMention(scored), golds, thAny, thDict)
+      else naive
+    // 4. externals added COND-UPDATE style (`cond_update`: a key already
+    //    trained on the corpus is never overwritten by a synonym);
+    //    case-folded external abbreviations are routed through the same
+    //    uc split
     val term = dictFromTerminology(concepts, descriptions)
     val ext = dictFromExternal(extConcepts, extMappings)
-    val base = expandEntries(harvested.union(term).union(ext)).distinct()
-    val withAbbr = base.union(abbreviationEntries(abbr, base)).distinct()
-    val ucNorms = uppercaseMentions(docs, golds).select(col("norm"))
-    val ucDict = withAbbr.toDF().join(ucNorms, col("mention") === col("norm"))
-      .select(col("section"), upper(col("mention")).as("mention"), col("concept_id"))
-      .distinct().as[DictEntry]
-    val lcDict = withAbbr.toDF()
-      .join(ucNorms, col("mention") === col("norm"), "left_anti")
+    val expanded = expandEntries(core.union(term).union(ext)).distinct()
+    val withAbbr = expanded.union(abbreviationEntries(abbr, expanded)).distinct()
+    val extAdd = withAbbr.toDF()
+      .join(core.toDF().select(col("section"), col("mention")),
+        Seq("section", "mention"), "left_anti")
       .as[DictEntry]
-    (pruneByScore(docs, golds, lcDict, theta), ucDict)
+    val full = core.toDF().toDF("section", "mention", "concept_id")
+      .union(extAdd.toDF().toDF("section", "mention", "concept_id"))
+      .distinct().as[DictEntry]
+    val (lcDict, ucExternal) = splitUc(full)
+    val ucDict = ucHarvested.toDF().toDF("section", "mention", "concept_id")
+      .union(ucExternal.toDF().toDF("section", "mention", "concept_id"))
+      .distinct().as[DictEntry]
+    // 5. "any" keys narrowed to sections observed for the concept's type
+    val lcFinal =
+      if (limitAny) {
+        val cidToType = conceptTypes(descriptions)
+        limitAnyToAllowedSections(lcDict, allowedSections(docs, golds, cidToType), cidToType)
+      } else lcDict
+    (lcFinal, ucDict)
   }
 
   /** Combined view of the split dictionaries (uc entries carry UPPERCASE
