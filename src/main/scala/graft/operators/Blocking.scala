@@ -37,6 +37,35 @@ object Blocking {
     (Seq("ex:" + norm, "st:" + sorted) ++ mh).distinct
   }
 
+  /** Hashed key generation — the production path: the same key FAMILIES as
+    * `keysFor` (exact / sorted-neighborhood / MinHash bands) as 64-bit
+    * hashes, domain-separated by seed, so the key table and every
+    * downstream shuffle carries 8-byte longs instead of strings. A band
+    * hash collision only adds a candidate pair that exact scoring then
+    * rejects — blocking keys never decide semantics. */
+  def keyHashesFor(norm: String): Array[Long] = {
+    val toks = norm.split(' ').filter(t => t.nonEmpty && !stopWords.contains(t))
+    val sorted = toks.sorted.mkString(" ")
+    val sig = TextFns.minHashSignature(norm, MinHashK)
+    val bands = MinHashK / RowsPerBand
+    val out = new Array[Long](2 + bands)
+    out(0) = TextFns.hash64(norm, 0x45781)       // "ex:"
+    out(1) = TextFns.hash64(sorted, 0x57a9d)     // "st:"
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ (b * 0x9e3779b97f4a7c15L)
+      var r = 0
+      while (r < RowsPerBand) {
+        h ^= sig(b * RowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      out(2 + b) = h
+      b += 1
+    }
+    out
+  }
+
   /** nodes(id, norm) → exploded block-key table (id, key). Narrow op. */
   def blockKeys(nodes: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -74,14 +103,14 @@ object Blocking {
     val coldPairs = cold.toDF("key", "a").join(cold.toDF("key", "b"), "key")
       .filter(col("a") < col("b")).select(col("a"), col("b"))
 
+    // salting joins on (key, salt) — type-agnostic (string or hashed keys)
     val hot = pruned.filter(col("freq") > saltThreshold).select(col("key"), col("id"))
-    val saltedLeft = hot.select(
-      concat(col("key"), lit("#"), pmod(xxhash64(col("id")), lit(salts))).as("skey"),
-      col("id").as("a"))
+    val saltedLeft = hot.select(col("key"),
+      pmod(xxhash64(col("id")), lit(salts)).as("salt"), col("id").as("a"))
     val replicatedRight = hot.select(col("key"), col("id").as("b"))
       .crossJoin(spark.range(salts.toLong).toDF("salt"))
-      .select(concat(col("key"), lit("#"), col("salt")).as("skey"), col("b"))
-    val hotPairs = saltedLeft.join(replicatedRight, "skey")
+      .select(col("key"), col("salt"), col("b"))
+    val hotPairs = saltedLeft.join(replicatedRight, Seq("key", "salt"))
       .filter(col("a") < col("b")).select(col("a"), col("b"))
 
     coldPairs.union(hotPairs).distinct()
@@ -95,7 +124,7 @@ object Blocking {
   def blockKeysWithNorm(nodes: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     nodes.select(col("id"), col("norm")).as[(String, String)]
-      .flatMap { case (id, norm) => keysFor(norm).map(k => (id, k, norm)) }
+      .flatMap { case (id, norm) => keyHashesFor(norm).map(k => (id, k, norm)) }
       .toDF("id", "key", "norm")
   }
 
@@ -126,13 +155,13 @@ object Blocking {
       .select(col("a"), col("b"), col("norm_a"), col("norm_b"))
 
     val hot = pruned.filter(col("freq") > saltThreshold)
-    val saltedLeft = hot.select(
-      concat(col("key"), lit("#"), pmod(xxhash64(col("id")), lit(salts))).as("skey"),
+    val saltedLeft = hot.select(col("key"),
+      pmod(xxhash64(col("id")), lit(salts)).as("salt"),
       col("id").as("a"), col("norm").as("norm_a"))
     val replicatedRight = hot.select(col("key"), col("id").as("b"), col("norm").as("norm_b"))
       .crossJoin(spark.range(salts.toLong).toDF("salt"))
-      .select(concat(col("key"), lit("#"), col("salt")).as("skey"), col("b"), col("norm_b"))
-    val hotPairs = saltedLeft.join(replicatedRight, "skey")
+      .select(col("key"), col("salt"), col("b"), col("norm_b"))
+    val hotPairs = saltedLeft.join(replicatedRight, Seq("key", "salt"))
       .filter(col("a") < col("b") && lenOk)
       .select(col("a"), col("b"), col("norm_a"), col("norm_b"))
 

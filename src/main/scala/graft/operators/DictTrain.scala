@@ -451,5 +451,43 @@ object DictTrain {
       DictionaryMatch.annotate(docs, lcDict),
       DictionaryMatch.annotate(docs, ucDict, caseSensitive = true))
 
+  /** A6 — nested per-name section stats with a 'default' rollup
+    * (`3rd Place/faiss_db_preparation.py:124-144`): for every mention name,
+    * a MAP section → (concept_id → count) of its labeled occurrences, plus
+    * a "default" entry merging all sections, plus the argmax concept of the
+    * default map (count desc, concept asc — the reference's `max(...)` over
+    * a Python dict is insertion-ordered; ours is pinned).
+    *
+    * Plan shape: one groupBy to the (name, section, concept) grain, one
+    * map_from_entries rollup per level — no UDAFs, no driver loops. */
+  def dictSectionStats(docs: Dataset[Doc], golds: Dataset[GoldAnnotation])
+                      (implicit spark: SparkSession): DataFrame = {
+    val mentions = LinkagePipeline.mentionsFromSpans(docs, golds).toDF()
+      .select(col("doc_id"), col("start"), col("end"), col("norm").as("name"), col("section"))
+    val labeled = mentions.join(golds.toDF(), Seq("doc_id", "start", "end"))
+    val grain = labeled.groupBy(col("name"), col("section"), col("concept_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySection = grain.groupBy(col("name"), col("section"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("concept_id"), col("cnt"))))).as("cid_counts"))
+    val defaults = grain.groupBy(col("name"), col("concept_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col("name"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("concept_id"), col("cnt"))))).as("default_counts"),
+        max_by(col("concept_id"),
+          struct(col("cnt"), -col("concept_id"))).as("concept_id"))
+    // no sort on the outer entries: structs holding MapType are unorderable
+    // (map semantics are entry-order-independent anyway)
+    bySection.groupBy(col("name"))
+      .agg(map_from_entries(collect_list(
+        struct(col("section"), col("cid_counts")))).as("sections"))
+      .join(defaults, "name")
+      .select(col("name"),
+        map_concat(col("sections"),
+          map(lit("default"), col("default_counts"))).as("dict_sections"),
+        col("concept_id"))
+  }
+
   val normalizeUdf = udf((s: String) => TextFns.normalize(s))
 }

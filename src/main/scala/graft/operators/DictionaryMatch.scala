@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model._
-import graft.functions.TextFns
+import graft.functions.{LongHashSet, LongKeyMap, TextFns}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * match is a broadcast hash equi-join on that key. Catalyst keeps the whole
   * path shuffle-free: doc → flatMap candidates (narrow) → BroadcastHashJoin.
   *
+  * ALLOCATION SHAPE (the measured scaling limiter at 32 threads): candidate
+  * keys are 64-bit ROLLING HASHES computed incrementally over the token
+  * chars — no per-n-gram string, no per-token substring, no boxing in the
+  * first-token filter (LongHashSet). The only allocation per candidate is
+  * its output row. Hash equality stands in for string equality: a false
+  * match needs a 64-bit poly-hash collision between a doc n-gram and a
+  * dictionary term (~|cands|·|dict|/2^64 — at 10^12 docs × 10^6 terms still
+  * ≪ 1 wrong span per corpus, and the span would merely annotate one bogus
+  * concept, not corrupt the pipeline).
+  *
   * Matching-fidelity notes vs the reference matcher:
   *  - `\s+`/`[- ]`/`[/ ]` tolerance  → both sides normalized (TextFns.normalize)
   *  - trailing `s*` on every pattern → candidate n-grams also emit a
@@ -24,21 +34,21 @@ import org.apache.spark.sql.functions._
   *  - header-line veto                → headerLineRanges (mimic_common.py:143)
   *  - medication/service/DOB veto     → Sectioning.isVetoSection (l. 148)
   *  - section key match               → join predicate section='any' or equal
+  *  - uc-dict second pass             → `caseSensitive = true` keeps token
+  *    case (`1st Place/src/mimic_predict.py:31-49`)
   */
 object DictionaryMatch {
 
   /** One candidate doc n-gram (guards already applied in-row). */
   case class Cand(doc_id: String, start: Int, end: Int, key: String, section: String)
 
-  /** Pure per-doc candidate generation. `firstTokens` prunes generation to
-    * n-grams that start with some dictionary term's first token — on real
-    * corpora that is a ~10× cut in candidate allocation (most tokens start
-    * no dictionary term), which is what lets this stage scale with cores
-    * instead of saturating the allocator. `null` disables the filter.
-    * `caseSensitive` keeps token case (the uc-dict second pass,
-    * `1st Place/src/mimic_predict.py:31-49`: a separate dictionary of
-    * uppercase-only mentions — "K", "THE" — that must NOT fire on their
-    * lowercase homographs). */
+  /** Hashed candidate — the production path. */
+  case class CandH(doc_id: String, start: Int, end: Int, key_hash: Long, section: String)
+
+  /** REFERENCE-ORACLE string-key candidate generation: readable
+    * transcription of the guards, used by the differential tests that pin
+    * `candidateHashes` to it. Allocates a string per n-gram — production
+    * uses `candidateHashes`. */
   def candidates(docId: String, text: String, maxTokens: Int, minStart: Int,
                  firstTokens: java.util.Set[String] = null,
                  caseSensitive: Boolean = false): Seq[Cand] = {
@@ -85,43 +95,243 @@ object DictionaryMatch {
     out.result()
   }
 
-  /** Distributed gazetteer annotation: docs ⋈ broadcast(dict).
-    * Result spans still overlap — feed through OverlapResolve.
-    * `caseSensitive=true` runs the uc-dict pass: dict mentions are matched
-    * against case-PRESERVED doc n-grams (dict entries must then carry the
-    * exact-cased mention, e.g. "THE"). */
+  /** Production candidate generation: identical guards and key semantics to
+    * `candidates`, but keys are rolling 64-bit hashes
+    * (`TextFns.fingerprint64` of the would-be key string, computed
+    * incrementally) — no substring, no StringBuilder, no boxed lookups.
+    * `firstTokens` holds fingerprint64 hashes of dictionary first tokens. */
+  def candidateHashes(docId: String, text: String, maxTokens: Int, minStart: Int,
+                      firstTokens: LongHashSet = null,
+                      caseSensitive: Boolean = false): Seq[CandH] = {
+    val n = text.length
+    // token bounds, one pass, no substrings
+    var nTok = 0
+    var p = 0
+    while (p < n) {
+      if (Character.isLetterOrDigit(text.charAt(p))) {
+        nTok += 1
+        while (p < n && Character.isLetterOrDigit(text.charAt(p))) p += 1
+      } else p += 1
+    }
+    if (nTok == 0) return Seq.empty
+    val tStart = new Array[Int](nTok)
+    val tEnd = new Array[Int](nTok)
+    var t = 0
+    p = 0
+    while (p < n) {
+      if (Character.isLetterOrDigit(text.charAt(p))) {
+        tStart(t) = p
+        while (p < n && Character.isLetterOrDigit(text.charAt(p))) p += 1
+        tEnd(t) = p
+        t += 1
+      } else p += 1
+    }
+    @inline def ch(idx: Int): Char = {
+      val c = text.charAt(idx)
+      if (caseSensitive) c else Character.toLowerCase(c)
+    }
+    val Seed = 1125899906842597L // fingerprint64's seed
+    // hash of one whole token
+    @inline def tokenHash(ti: Int): Long = {
+      var h = Seed
+      var k = tStart(ti)
+      while (k < tEnd(ti)) { h = 31 * h + ch(k); k += 1 }
+      h
+    }
+    val secs = Sectioning.sections(docId, text)
+    val headerLines = Sectioning.headerLineRanges(text)
+    var hlIdx = 0
+    val out = Seq.newBuilder[CandH]
+    var i = 0
+    while (i < nTok) {
+      val start = tStart(i)
+      if (start >= minStart) {
+        val len0 = tEnd(i) - tStart(i)
+        val lastLower0 = Character.toLowerCase(text.charAt(tEnd(i) - 1))
+        val prefixOk = firstTokens == null || {
+          val f0 = tokenHash(i)
+          firstTokens.contains(f0) || {
+            // 1-token plural: hash of the token minus its trailing 's'
+            len0 > 3 && lastLower0 == 's' && {
+              var h = Seed
+              var k = tStart(i)
+              while (k < tEnd(i) - 1) { h = 31 * h + ch(k); k += 1 }
+              firstTokens.contains(h)
+            }
+          }
+        }
+        if (prefixOk) {
+          while (hlIdx < headerLines.length && headerLines(hlIdx)._2 <= start) hlIdx += 1
+          val inHeader = hlIdx < headerLines.length &&
+            headerLines(hlIdx)._1 <= start && start < headerLines(hlIdx)._2
+          if (!inHeader) {
+            val section = Sectioning.sectionAt(secs, start)
+            if (!Sectioning.isVetoSection(section)) {
+              var h = Seed
+              var j = i
+              while (j < nTok && j - i < maxTokens) {
+                if (j > i) h = 31 * h + ' '
+                var hBeforeLast = h
+                var k = tStart(j)
+                val e = tEnd(j)
+                while (k < e) { hBeforeLast = h; h = 31 * h + ch(k); k += 1 }
+                out += CandH(docId, start, e, h, section)
+                if (e - tStart(j) > 3 && Character.toLowerCase(text.charAt(e - 1)) == 's')
+                  out += CandH(docId, start, e, hBeforeLast, section)
+                j += 1
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** One dictionary payload row in the fused matcher's broadcast map. */
+  final case class DictHit(section: String, mention: String, conceptId: Long)
+
+  /** Fused per-doc matcher: candidateHashes' exact guard/key semantics with
+    * the broadcast-hash-join PROBE inlined — only MATCHING n-grams allocate
+    * anything (an Annotation). A non-matching candidate costs a rolling
+    * hash + one open-addressing probe: zero allocation. This is what keeps
+    * the stage scaling with cores instead of saturating the allocator
+    * (the measured 32-thread ceiling): at ~2k candidates/doc and ~15
+    * hits/doc it is ~100× less garbage than materializing candidate rows
+    * into a Catalyst join. */
+  def matchDoc(docId: String, text: String, maxTokens: Int, minStart: Int,
+               dictMap: LongKeyMap[Array[DictHit]],
+               firstTokens: LongHashSet,
+               caseSensitive: Boolean = false): Seq[Annotation] = {
+    val n = text.length
+    var nTok = 0
+    var p = 0
+    while (p < n) {
+      if (Character.isLetterOrDigit(text.charAt(p))) {
+        nTok += 1
+        while (p < n && Character.isLetterOrDigit(text.charAt(p))) p += 1
+      } else p += 1
+    }
+    if (nTok == 0) return Seq.empty
+    val tStart = new Array[Int](nTok)
+    val tEnd = new Array[Int](nTok)
+    var t = 0
+    p = 0
+    while (p < n) {
+      if (Character.isLetterOrDigit(text.charAt(p))) {
+        tStart(t) = p
+        while (p < n && Character.isLetterOrDigit(text.charAt(p))) p += 1
+        tEnd(t) = p
+        t += 1
+      } else p += 1
+    }
+    @inline def ch(idx: Int): Char = {
+      val c = text.charAt(idx)
+      if (caseSensitive) c else Character.toLowerCase(c)
+    }
+    val Seed = 1125899906842597L
+    @inline def tokenHash(ti: Int): Long = {
+      var h = Seed
+      var k = tStart(ti)
+      while (k < tEnd(ti)) { h = 31 * h + ch(k); k += 1 }
+      h
+    }
+    val secs = Sectioning.sections(docId, text)
+    val headerLines = Sectioning.headerLineRanges(text)
+    var hlIdx = 0
+    val out = Seq.newBuilder[Annotation]
+    @inline def probe(h: Long, start: Int, end: Int, section: String): Unit = {
+      val hits = dictMap.get(h)
+      if (hits != null) {
+        var x = 0
+        while (x < hits.length) {
+          val e = hits(x)
+          if (e.section == "any" || e.section == section)
+            out += Annotation(docId, start, end, e.conceptId, e.section, e.mention)
+          x += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < nTok) {
+      val start = tStart(i)
+      if (start >= minStart) {
+        val len0 = tEnd(i) - tStart(i)
+        val lastLower0 = Character.toLowerCase(text.charAt(tEnd(i) - 1))
+        val prefixOk = firstTokens == null || {
+          val f0 = tokenHash(i)
+          firstTokens.contains(f0) || {
+            len0 > 3 && lastLower0 == 's' && {
+              var h = Seed
+              var k = tStart(i)
+              while (k < tEnd(i) - 1) { h = 31 * h + ch(k); k += 1 }
+              firstTokens.contains(h)
+            }
+          }
+        }
+        if (prefixOk) {
+          while (hlIdx < headerLines.length && headerLines(hlIdx)._2 <= start) hlIdx += 1
+          val inHeader = hlIdx < headerLines.length &&
+            headerLines(hlIdx)._1 <= start && start < headerLines(hlIdx)._2
+          if (!inHeader) {
+            val section = Sectioning.sectionAt(secs, start)
+            if (!Sectioning.isVetoSection(section)) {
+              var h = Seed
+              var j = i
+              while (j < nTok && j - i < maxTokens) {
+                if (j > i) h = 31 * h + ' '
+                var hBeforeLast = h
+                var k = tStart(j)
+                val e = tEnd(j)
+                while (k < e) { hBeforeLast = h; h = 31 * h + ch(k); k += 1 }
+                probe(h, start, e, section)
+                if (e - tStart(j) > 3 && Character.toLowerCase(text.charAt(e - 1)) == 's')
+                  probe(hBeforeLast, start, e, section)
+                j += 1
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Build the broadcastable (hash → entries) map + first-token filter from
+    * a dictionary (which is broadcast-scale by assumption). Hit arrays are
+    * sorted (section, mention, concept) so match emission order is pinned. */
+  def dictStructures(entries: Array[DictEntry]): (LongKeyMap[Array[DictHit]], LongHashSet) = {
+    val byHash = entries.groupBy(e => TextFns.fingerprint64(e.mention))
+    val m = new LongKeyMap[Array[DictHit]](byHash.size)
+    byHash.foreach { case (h, es) =>
+      m.put(h, es.sortBy(e => (e.section, e.mention, e.concept_id))
+        .map(e => DictHit(e.section, e.mention, e.concept_id)))
+    }
+    val ft = new LongHashSet(entries.length)
+    entries.foreach { e =>
+      val cut = e.mention.indexOf(' ')
+      ft.add(TextFns.fingerprint64(if (cut < 0) e.mention else e.mention.substring(0, cut)))
+    }
+    (m, ft)
+  }
+
+  /** Distributed gazetteer annotation: docs → fused broadcast-hash probe
+    * (`matchDoc`). Result spans still overlap — feed through
+    * OverlapResolve. `caseSensitive=true` runs the uc-dict pass: dict
+    * mentions are matched against case-PRESERVED doc n-grams (dict entries
+    * must then carry the exact-cased mention, e.g. "THE"). */
   def annotate(docs: Dataset[Doc], dict: Dataset[DictEntry],
                maxTokens: Int = 6, minStart: Int = 100,
                caseSensitive: Boolean = false)
               (implicit spark: SparkSession): Dataset[Annotation] = {
     import spark.implicits._
-    // first-token prefix filter: the dictionary is broadcast-scale by
-    // assumption (it is broadcast below), so its first-token set is too
-    val firstTokens: java.util.Set[String] = {
-      val s = new java.util.HashSet[String]()
-      dict.toDF().select(col("mention")).distinct().collect().foreach { r =>
-        val m = r.getString(0)
-        val cut = m.indexOf(' ')
-        s.add(if (cut < 0) m else m.substring(0, cut))
-      }
-      s
-    }
+    val (dictMap, firstTokens) = dictStructures(dict.collect())
+    val dmB = spark.sparkContext.broadcast(dictMap)
     val ftB = spark.sparkContext.broadcast(firstTokens)
-    val cands = docs.flatMap(d =>
-      candidates(d.doc_id, d.text, maxTokens, minStart, ftB.value, caseSensitive))
-    val d = dict.toDF("dsection", "dkey", "concept_id")
-    // No distinct: a span can match a dict term via exactly one key (the
-    // exact and destemmed keys are different strings and dict terms are
-    // unique per (section, mention)), so the join emits no duplicate rows —
-    // and the overlap sweep downstream is duplicate-tolerant anyway.
-    // Dropping it saves a full-row shuffle; the only remaining shuffle on
-    // this path is the doc_id repartition for overlap resolution.
-    cands.join(broadcast(d),
-        cands("key") === d("dkey") &&
-          (d("dsection") === "any" || d("dsection") === cands("section")))
-      .select(col("doc_id"), col("start"), col("end"), col("concept_id"),
-        col("dsection").as("section"), col("dkey").as("dict_entry"))
-      .as[Annotation]
+    docs.flatMap(d =>
+      matchDoc(d.doc_id, d.text, maxTokens, minStart, dmB.value, ftB.value, caseSensitive))
   }
 
   /** Max token length of any dictionary term — drives candidate n-gram depth. */

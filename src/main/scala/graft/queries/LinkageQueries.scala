@@ -233,6 +233,38 @@ object LinkageQueries {
         graft.operators.AttributeRewrite.apply(ds, base, att).toDF()
       }, None),
 
+    // A11 remove/add-lists classification (3rd Place/remove-add-lists.py):
+    // gold spans vs inference spans classified same/included/intersect/no
+    // per term, with corpus occurrence counts and curation ratios
+    QueryDef("span_compare_terms",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val n = corpusSize(dir)
+        val ds = docs(s, n)
+        val a = LinkagePipeline.mentionsFromSpans(ds, gold(s, n)).toDF()
+          .select(col("doc_id"), col("start"), col("end"), col("norm").as("term"))
+        val b = annotate(s, dir).toDF()
+          .select(col("doc_id"), col("start"), col("end"), col("dict_entry").as("term"))
+        graft.operators.SpanCompare.removeAddSummary(ds, a, b)
+      }, None),
+
+    // F13/F14 mention context windows + section-conditioned templates
+    QueryDef("linkage_context",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val n = corpusSize(dir)
+        graft.operators.Context.mentionContexts(docs(s, n), annotate(s, dir))
+      }, None),
+
+    // A6 nested per-name section stats (MapType) with the 'default' rollup
+    QueryDef("dict_section_stats",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val n = corpusSize(dir)
+        graft.operators.DictTrain.dictSectionStats(docs(s, n), gold(s, n))
+      }, None),
+
     // chunking relation (C2/C3) over the interleaved docs
     QueryDef("chunking",
       (s, dir) => {

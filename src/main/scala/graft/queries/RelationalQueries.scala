@@ -374,6 +374,74 @@ object RelationalQueries {
       Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
              |levenshtein(a.p_name, b.p_name) AS lev
              |FROM part a JOIN part b
-             |ON a.p_partkey % 100 = b.p_partkey % 100 AND a.p_partkey < b.p_partkey""".stripMargin))
+             |ON a.p_partkey % 100 = b.p_partkey % 100 AND a.p_partkey < b.p_partkey""".stripMargin)),
+
+    // M1 metric oracle: the SAME Metrics.macroCharIou code that grades the
+    // linkage queries, run on spans derived deterministically from orders
+    // (one doc per order → non-overlapping by construction), checked
+    // against DuckDB's char-painting form (positions exploded via
+    // generate_series — exactly the reference scorer's dense matrix,
+    // `1st Place/src/scoring.py:10-47`).
+    QueryDef("metric_macro_iou",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        val pred = o.select(col("k").as("doc_id"), (col("k") % 7).as("concept_id"),
+          ((col("k") * 13) % 400).as("start"),
+          ((col("k") * 13) % 400 + 1 + col("k") % 29).as("end"))
+        val gt = o.select(col("k").as("doc_id"),
+          ((col("k") + when(col("k") % 11 === 0, 1).otherwise(0)) % 7).as("concept_id"),
+          ((col("k") * 13) % 400 + col("k") % 5).as("start"),
+          ((col("k") * 13) % 400 + col("k") % 5 + 1 + col("k") % 31).as("end"))
+        val (perConcept, _) = graft.metrics.Metrics.macroCharIou(pred, gt)
+        perConcept.select(col("concept_id"), round(col("iou"), 4).as("iou"))
+      },
+      Some("""WITH p AS (SELECT o_orderkey AS doc, o_orderkey%7 AS cid,
+             |  (o_orderkey*13)%400 AS s, (o_orderkey*13)%400 + 1 + o_orderkey%29 AS e
+             |  FROM orders),
+             |g AS (SELECT o_orderkey AS doc,
+             |  (o_orderkey + CASE WHEN o_orderkey%11=0 THEN 1 ELSE 0 END)%7 AS cid,
+             |  (o_orderkey*13)%400 + o_orderkey%5 AS s,
+             |  (o_orderkey*13)%400 + o_orderkey%5 + 1 + o_orderkey%31 AS e
+             |  FROM orders),
+             |pp AS (SELECT DISTINCT doc, cid, pos FROM
+             |  (SELECT doc, cid, unnest(range(s, e)) AS pos FROM p)),
+             |gg AS (SELECT DISTINCT doc, cid, pos FROM
+             |  (SELECT doc, cid, unnest(range(s, e)) AS pos FROM g)),
+             |inter AS (SELECT cid, count(*) AS n FROM pp JOIN gg USING (doc, cid, pos) GROUP BY cid),
+             |un AS (SELECT cid, count(*) AS n FROM
+             |  (SELECT doc, cid, pos FROM pp UNION SELECT doc, cid, pos FROM gg) GROUP BY cid)
+             |SELECT un.cid AS concept_id,
+             |  round(CAST(coalesce(inter.n, 0) AS DOUBLE) / un.n, 4) AS iou
+             |FROM un LEFT JOIN inter ON un.cid = inter.cid""".stripMargin)),
+
+    // M7 metric oracle: the SAME Metrics.pairwiseF1 used by the linkage F1
+    // gate, on a derived clustering (custkey%7) vs derived labels
+    // (custkey%3) over a same-nation pair universe, checked against plain
+    // SQL pair counting.
+    QueryDef("metric_pairwise_f1",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("n"))
+        val pairs = c.toDF("a", "na")
+          .join(c.toDF("b", "nb"), col("na") === col("nb") && col("a") < col("b"))
+          .select(col("a"), col("b"))
+        val pred = pairs.filter(col("a") % 7 === col("b") % 7)
+        val gold = pairs.filter(col("a") % 3 === col("b") % 3)
+        val (p, r, f1) = graft.metrics.Metrics.pairwiseF1(pred, gold)
+        Seq((math.rint(p * 10000) / 10000, math.rint(r * 10000) / 10000,
+          math.rint(f1 * 10000) / 10000)).toDF("precision", "recall", "f1")
+      },
+      Some("""WITH u AS (SELECT a.c_custkey AS a, b.c_custkey AS b
+             |  FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+             |s AS (SELECT
+             |  CAST(count(*) FILTER (a%7 = b%7 AND a%3 = b%3) AS DOUBLE) AS ni,
+             |  CAST(count(*) FILTER (a%7 = b%7) AS DOUBLE) AS np,
+             |  CAST(count(*) FILTER (a%3 = b%3) AS DOUBLE) AS ng
+             |  FROM u)
+             |SELECT round(ni/np, 4) AS precision, round(ni/ng, 4) AS recall,
+             |  round(2*(ni/np)*(ni/ng)/((ni/np)+(ni/ng)), 4) AS f1
+             |FROM s""".stripMargin))
   )
 }

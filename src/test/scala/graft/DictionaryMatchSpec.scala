@@ -47,6 +47,51 @@ class DictionaryMatchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hashed candidates are exactly the string candidates' fingerprints") {
+    import graft.functions.LongHashSet
+    val firstTokens: java.util.Set[String] = {
+      val s = new java.util.HashSet[String]()
+      dict.foreach { e =>
+        val cut = e.mention.indexOf(' ')
+        s.add(if (cut < 0) e.mention else e.mention.substring(0, cut))
+      }
+      s
+    }
+    val ftHashes = {
+      val s = new LongHashSet(firstTokens.size())
+      firstTokens.forEach(t => s.add(TextFns.fingerprint64(t)))
+      s
+    }
+    for (d <- docs.take(15); cs <- Seq(false, true)) {
+      val strCands = DictionaryMatch
+        .candidates(d.doc_id, d.text, 4, 100, firstTokens, cs)
+        .map(c => (c.start, c.end, TextFns.fingerprint64(c.key), c.section))
+      val hashCands = DictionaryMatch
+        .candidateHashes(d.doc_id, d.text, 4, 100, ftHashes, cs)
+        .map(c => (c.start, c.end, c.key_hash, c.section))
+      assert(hashCands == strCands, s"divergence in ${d.doc_id} cs=$cs")
+    }
+  }
+
+  test("fused matchDoc equals string-candidates joined with the dict") {
+    val (dictMap, ftHashes) = DictionaryMatch.dictStructures(dict.toArray)
+    val byKey = dict.groupBy(_.mention)
+    for (d <- docs.take(15)) {
+      val fused = DictionaryMatch
+        .matchDoc(d.doc_id, d.text, 4, 100, dictMap, ftHashes)
+        .map(a => (a.start, a.end, a.concept_id, a.section, a.dict_entry)).toSet
+      val joined = DictionaryMatch
+        .candidates(d.doc_id, d.text, 4, 100)
+        .flatMap { c =>
+          byKey.getOrElse(c.key, Seq.empty).collect {
+            case e if e.section == "any" || e.section == c.section =>
+              (c.start, c.end, e.concept_id, e.section, e.mention)
+          }
+        }.toSet
+      assert(fused == joined, s"divergence in ${d.doc_id}")
+    }
+  }
+
   test("gazetteer match finds planted exact/permutation/plural mentions") {
     import spark.implicits._
     val matched = DictionaryMatch.annotate(
