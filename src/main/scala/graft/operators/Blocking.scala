@@ -168,4 +168,50 @@ object Blocking {
     val union = coldPairs.union(hotPairs)
     if (dedupe) union.distinct() else union
   }
+
+  /** BIPARTITE candidate pairs: left keys × right keys on the block key —
+    * for consumers that only ever use cross-side pairs (the linkage
+    * pipeline's argmax links surfaces to dictionary TERMS; surface-surface
+    * and term-term pairs never become edges). Generating only the cross
+    * pairs cuts the pair/scoring volume ~10× vs the self-join (measured:
+    * 18.5M → ~2M pairs at 100k docs) and removes the a<b dedup concern.
+    * Same hot-key capping and salting as the self-join (left side salted,
+    * right side replicated). */
+  def candidatePairsBipartite(keysLeft: DataFrame, keysRight: DataFrame,
+                              hotKeyCap: Int = 1000,
+                              saltThreshold: Int = 300, salts: Int = 8,
+                              lenSlack: Int = 10)
+                             (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val freq = keyFrequencies(
+      keysLeft.select(col("id"), col("key"))
+        .union(keysRight.select(col("id"), col("key"))))
+      .filter(col("freq") <= hotKeyCap)
+    val lenOk = abs(length(col("norm_a")) - length(col("norm_b"))) <= lenSlack
+    val l = keysLeft.join(freq, "key")
+      .select(col("key"), col("id").as("a"), col("norm").as("norm_a"), col("freq"))
+    val r = keysRight.join(freq, "key")
+      .select(col("key"), col("id").as("b"), col("norm").as("norm_b"), col("freq"))
+
+    val coldPairs = l.filter(col("freq") <= saltThreshold).drop("freq")
+      .join(r.filter(col("freq") <= saltThreshold).drop("freq"), "key")
+      .filter(lenOk)
+      .select(col("a"), col("b"), col("norm_a"), col("norm_b"))
+
+    val hotL = l.filter(col("freq") > saltThreshold).drop("freq")
+      .select(col("key"), pmod(xxhash64(col("a")), lit(salts)).as("salt"),
+        col("a"), col("norm_a"))
+    val hotR = r.filter(col("freq") > saltThreshold).drop("freq")
+      .crossJoin(spark.range(salts.toLong).toDF("salt"))
+      .select(col("key"), col("salt"), col("b"), col("norm_b"))
+    val hotPairs = hotL.join(hotR, Seq("key", "salt"))
+      .filter(lenOk)
+      .select(col("a"), col("b"), col("norm_a"), col("norm_b"))
+
+    // no distinct: measured duplicate factor is only ~1.35× (most pairs
+    // arrive via one or two shared keys) and the downstream argmax is
+    // duplicate-tolerant — a full-row shuffle costs more than re-scoring
+    // the duplicates
+    coldPairs.union(hotPairs)
+  }
 }

@@ -56,19 +56,30 @@ object DictTrain {
       .as[DictEntry]
   }
 
-  /** J1: active concepts ⋈ active descriptions; FSN tag stripped (F3/F4). */
-  def dictFromTerminology(concepts: Dataset[Concept], descriptions: Dataset[Description])
+  /** J1: active concepts ⋈ active descriptions; FSN tag stripped (F3/F4);
+    * P3 validity predicates of `add_snomed_syn` (`mimic_train.py:137-153`):
+    * raw length ≥ 3, no "machine translation", no late "[...]" bracket,
+    * processed word count in [minLen, maxLen], leading char alphanumeric. */
+  def dictFromTerminology(concepts: Dataset[Concept], descriptions: Dataset[Description],
+                          minLen: Int = 2, maxLen: Int = 5)
                          (implicit spark: SparkSession): Dataset[DictEntry] = {
     import spark.implicits._
     val c = concepts.filter(_.active == 1).toDF()
     val d = descriptions.filter(_.active == 1).toDF()
     c.join(d, "concept_id")
+      .filter(length(col("term")) >= 3 &&
+        !col("term").contains("machine translation") &&
+        // reference: reject when "]" present and "[" first appears past pos 5
+        !(col("term").contains("]") && instr(col("term"), "[") > 6))
       .withColumn("term_clean",
         when(col("typ") === "FSN", regexp_replace(col("term"), "\\s*\\([^)]*\\)$", ""))
           .otherwise(col("term")))
+      .filter(regexp_like(substring(col("term_clean"), 1, 1), lit("[a-zA-Z0-9]")))
       .select(lit("any").as("section"),
         normalizeUdf(col("term_clean")).as("mention"), col("concept_id"))
-      .filter(length(col("mention")) >= 3) // P3: drop too-short synonyms
+      .filter(length(col("mention")) >= 3 &&
+        size(split(col("mention"), " ")) >= minLen - 1 && // 1-word keys allowed like the FSN path
+        size(split(col("mention"), " ")) <= maxLen)
       .distinct()
       .as[DictEntry]
   }
@@ -104,20 +115,57 @@ object DictTrain {
       .as[DictEntry]
   }
 
-  /** F8/F9: deterministic expansions — "A B C" → "C of A B" permutation,
-    * " of " insertion/removal variants. */
-  def expandEntries(dict: Dataset[DictEntry])(implicit spark: SparkSession): Dataset[DictEntry] = {
+  /** F8/F9: deterministic expansions — the reference's get_permutations
+    * (`mimic_train.py:198-222`, branch structure transcribed: the "of"
+    * rotations; full permutations ONLY for 3-word of-free keys clear of the
+    * blacklist — the n==4 elif shadows the all-permutations branch) and
+    * get_word_replacements (`mimic_train.py:226-240`). */
+  def expandEntries(dict: Dataset[DictEntry], blacklist: Set[String] = Set.empty)
+                   (implicit spark: SparkSession): Dataset[DictEntry] = {
     import spark.implicits._
+    val blB = spark.sparkContext.broadcast(blacklist)
     dict.flatMap { e =>
-      val parts = e.mention.split(' ')
-      val perms =
-        if (parts.length == 3 && !parts.contains("of"))
-          Seq(s"${parts(2)} of ${parts(0)} ${parts(1)}")
-        else if (parts.length == 4 && parts(1) == "of")
-          Seq(s"${parts(2)} ${parts(3)} ${parts(0)}")
+      val words = e.mention.split(' ')
+      val n = words.length
+      val perms: Seq[String] =
+        if (n < 3 || n > 4) Seq.empty
+        else if (n == 3 && words(1) == "of") Seq(s"${words(2)} ${words(0)}")
+        else if (n == 4) {
+          if (words(1) == "of") Seq(s"${words(2)} ${words(3)} ${words(0)}")
+          else if (words(2) == "of")
+            Seq(s"${words(3)} ${words(0)} ${words(1)}", s"${words(0)} ${words(3)} ${words(1)}")
+          else Seq.empty
+        } else if (words.forall(w => !blB.value.contains(w)))
+          words.permutations.map(_.mkString(" ")).toSeq
         else Seq.empty
-      (Seq(e.mention) ++ perms).distinct.map(m => DictEntry(e.section, m, e.concept_id))
+      val repls = Seq(" and " -> " with ", " with " -> " and ",
+        " valve " -> " ", " of " -> " of the ")
+        .collect { case (s1, s2) if e.mention.contains(s1) => e.mention.replace(s1, s2) }
+      (Seq(e.mention) ++ perms ++ repls).distinct
+        .map(m => DictEntry(e.section, m, e.concept_id))
     }
+  }
+
+  /** A4 (2nd Place `static_dict.py:167-182` calc_ratio + filt_by_ratio):
+    * per-term precision = labeled occurrences / raw corpus matches; keep
+    * dict terms strictly above the threshold (terms never matched in the
+    * corpus drop out — the reference's dropna). */
+  def pruneByCorpusPrecision(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
+                             dict: Dataset[DictEntry], threshold: Double = 0.25)
+                            (implicit spark: SparkSession): Dataset[DictEntry] = {
+    import spark.implicits._
+    val tp = LinkagePipeline.mentionsFromSpans(docs, golds).toDF()
+      .join(golds.toDF(), Seq("doc_id", "start", "end"), "left_semi")
+      .groupBy(col("norm").as("term")).agg(count(lit(1)).as("n_tp"))
+    val ap = SpanCompare.termOccurrences(docs,
+      dict.toDF().select(col("mention").as("term")))
+    dict.toDF()
+      .join(tp, col("mention") === tp("term")).drop(tp("term"))
+      .join(ap, col("mention") === ap("term")).drop(ap("term"))
+      .filter(col("occurrences") > 0 &&
+        col("n_tp").cast("double") / col("occurrences") > threshold)
+      .select(col("section"), col("mention"), col("concept_id"))
+      .as[DictEntry]
   }
 
   /** M5/A5/O6: score each dict key against training gold — an emitted
@@ -405,7 +453,11 @@ object DictTrain {
     //    uc split
     val term = dictFromTerminology(concepts, descriptions)
     val ext = dictFromExternal(extConcepts, extMappings)
-    val expanded = expandEntries(core.union(term).union(ext)).distinct()
+    // permutation blacklist: corpus words above ~the reference's
+    // blacklist_thresh=2000-over-150-notes rate (≈13 per note)
+    val permBlacklist = wordBlacklist(docs, cutoff = 13L * docs.count())
+      .select(col("word")).as[String].collect().toSet
+    val expanded = expandEntries(core.union(term).union(ext), permBlacklist).distinct()
     val withAbbr = expanded.union(abbreviationEntries(abbr, expanded)).distinct()
     val extAdd = withAbbr.toDF()
       .join(core.toDF().select(col("section"), col("mention")),

@@ -322,16 +322,46 @@ object DictionaryMatch {
     * OverlapResolve. `caseSensitive=true` runs the uc-dict pass: dict
     * mentions are matched against case-PRESERVED doc n-grams (dict entries
     * must then carry the exact-cased mention, e.g. "THE"). */
+  /** Explicit driver-collect cap: the gazetteer design ASSUMES a
+    * broadcast-scale dictionary (the reference's is ~1M entries). Beyond
+    * this, fail loudly instead of OOMing the driver — the beyond-broadcast
+    * path is the blocking+scoring pipeline, not the gazetteer. */
+  val MaxBroadcastDictEntries: Long = 20000000L
+
+  private def collectDict(dict: Dataset[DictEntry]): Array[DictEntry] = {
+    val n = dict.count()
+    require(n <= MaxBroadcastDictEntries,
+      s"dictionary has $n entries > broadcast cap $MaxBroadcastDictEntries " +
+        "— route beyond-broadcast-scale matching through LinkagePipeline")
+    dict.collect()
+  }
+
   def annotate(docs: Dataset[Doc], dict: Dataset[DictEntry],
                maxTokens: Int = 6, minStart: Int = 100,
                caseSensitive: Boolean = false)
               (implicit spark: SparkSession): Dataset[Annotation] = {
     import spark.implicits._
-    val (dictMap, firstTokens) = dictStructures(dict.collect())
+    val (dictMap, firstTokens) = dictStructures(collectDict(dict))
     val dmB = spark.sparkContext.broadcast(dictMap)
     val ftB = spark.sparkContext.broadcast(firstTokens)
     docs.flatMap(d =>
       matchDoc(d.doc_id, d.text, maxTokens, minStart, dmB.value, ftB.value, caseSensitive))
+  }
+
+  /** Same fused annotation over a flat (doc_id, text) table — the shape an
+    * Iceberg/parquet doc table scan feeds directly (2 string columns per
+    * row, no span-struct deserialization). */
+  def annotateText(docs: Dataset[(String, String)], dict: Dataset[DictEntry],
+                   maxTokens: Int = 6, minStart: Int = 100,
+                   caseSensitive: Boolean = false)
+                  (implicit spark: SparkSession): Dataset[Annotation] = {
+    import spark.implicits._
+    val (dictMap, firstTokens) = dictStructures(collectDict(dict))
+    val dmB = spark.sparkContext.broadcast(dictMap)
+    val ftB = spark.sparkContext.broadcast(firstTokens)
+    docs.flatMap { case (id, text) =>
+      matchDoc(id, text, maxTokens, minStart, dmB.value, ftB.value, caseSensitive)
+    }
   }
 
   /** Max token length of any dictionary term — drives candidate n-gram depth. */

