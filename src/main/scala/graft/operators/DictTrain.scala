@@ -39,9 +39,17 @@ object DictTrain {
     * a key only when its modal concept is the unique majority (tie-break
     * pinned (count desc, concept_id asc); uniqueness = strict majority). */
   def dictFromAnnotations(docs: Dataset[Doc], golds: Dataset[GoldAnnotation])
-                         (implicit spark: SparkSession): Dataset[DictEntry] = {
+                         (implicit spark: SparkSession): Dataset[DictEntry] =
+    dictFromMentions(LinkagePipeline.mentionsFromSpans(docs, golds).toDF(), golds)
+
+  /** Same harvest over an already-extracted mention table — the shared-scan
+    * form `trainDictionarySplit` uses (the mention extraction is one corpus
+    * pass consumed by three trainers; extracting it per consumer re-ran the
+    * doc scan three times, the round-2 bench regression). */
+  def dictFromMentions(mentionsDf: DataFrame, golds: Dataset[GoldAnnotation])
+                      (implicit spark: SparkSession): Dataset[DictEntry] = {
     import spark.implicits._
-    val mentions = LinkagePipeline.mentionsFromSpans(docs, golds).toDF()
+    val mentions = mentionsDf
       .select(col("doc_id"), col("start"), col("end"), col("norm"), col("section"))
     val labeled = mentions.join(golds.toDF(), Seq("doc_id", "start", "end"))
     val counted = labeled.groupBy(col("section"), col("norm"), col("concept_id"))
@@ -359,8 +367,14 @@ object DictTrain {
   /** (type, section) pairs observed in gold (`get_cid_type_sections_pairs`). */
   def allowedSections(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],
                       cidToType: DataFrame)
-                     (implicit spark: SparkSession): DataFrame = {
-    val mentions = LinkagePipeline.mentionsFromSpans(docs, golds).toDF()
+                     (implicit spark: SparkSession): DataFrame =
+    allowedSectionsOf(LinkagePipeline.mentionsFromSpans(docs, golds).toDF(), golds, cidToType)
+
+  /** Shared-scan form over an already-extracted mention table. */
+  def allowedSectionsOf(mentionsDf: DataFrame, golds: Dataset[GoldAnnotation],
+                        cidToType: DataFrame)
+                       (implicit spark: SparkSession): DataFrame = {
+    val mentions = mentionsDf
       .select(col("doc_id"), col("start"), col("end"), col("section"))
     mentions.join(golds.toDF(), Seq("doc_id", "start", "end"))
       .join(cidToType, "concept_id")
@@ -394,9 +408,11 @@ object DictTrain {
   /** F10: mentions whose gold occurrences are ≥99% uppercase in the raw text
     * (the reference builds a separate case-sensitive dict from these). */
   def uppercaseMentions(docs: Dataset[Doc], golds: Dataset[GoldAnnotation])
-                       (implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val m = LinkagePipeline.mentionsFromSpans(docs, golds).toDF()
+                       (implicit spark: SparkSession): DataFrame =
+    uppercaseMentionsOf(LinkagePipeline.mentionsFromSpans(docs, golds).toDF())
+
+  /** Shared-scan form over an already-extracted mention table. */
+  def uppercaseMentionsOf(m: DataFrame): DataFrame = {
     m.select(col("norm"),
         when(col("surface") === upper(col("surface")), 1.0).otherwise(0.0).as("uc"))
       .groupBy("norm").agg(avg(col("uc")).as("uc_ratio"), count(lit(1)).as("n"))
@@ -418,9 +434,24 @@ object DictTrain {
                            greedy: Boolean = true, limitAny: Boolean = true)
                           (implicit spark: SparkSession): (Dataset[DictEntry], Dataset[DictEntry]) = {
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // 0. ONE corpus scan each for docs, golds and the extracted mentions —
+    //    every trainer below consumes these persisted frames. (Round-2
+    //    bench lesson: the three mention consumers each re-ran the doc
+    //    pipeline because the lineage below them was unpersisted; training
+    //    made ~5 full corpus passes. The outputs are materialized eagerly
+    //    at the end so the inputs can be released — results are
+    //    checksum-identical to the unshared form, only the pass count
+    //    changes.)
+    import org.apache.spark.storage.StorageLevel
+    val docsPersistedHere = docs.storageLevel == StorageLevel.NONE
+    val goldsPersistedHere = golds.storageLevel == StorageLevel.NONE
+    val docsP = if (docsPersistedHere) docs.persist(MEMORY_AND_DISK) else docs
+    val goldsP = if (goldsPersistedHere) golds.persist(MEMORY_AND_DISK) else golds
+    val mentions = LinkagePipeline.mentionsFromSpans(docsP, goldsP).toDF()
+      .persist(MEMORY_AND_DISK)
     // 1. harvest (mock_train's build_dict + unique-majority)
-    val harvested = dictFromAnnotations(docs, golds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val harvested = dictFromMentions(mentions, goldsP).persist(MEMORY_AND_DISK)
     // 2. uc split FIRST (vs the reference's post-scoring
     //    extract_uppercase_mentions): an uppercase-only key scored by the
     //    case-FOLDED matcher drowns in its lowercase homographs ("THE" vs
@@ -428,8 +459,8 @@ object DictTrain {
     //    why the reference ships a hand-curated uc dict
     //    (`mimic_predict.py:get_case_sensitive_dict`). Splitting before
     //    scoring derives that dict instead of hardcoding it.
-    val ucNorms = uppercaseMentions(docs, golds).select(col("norm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ucNorms = uppercaseMentionsOf(mentions).select(col("norm"))
+      .persist(MEMORY_AND_DISK)
     def splitUc(d: Dataset[DictEntry]): (Dataset[DictEntry], Dataset[DictEntry]) = {
       val uc = d.toDF().join(ucNorms, col("mention") === col("norm"))
         .select(col("section"), upper(col("mention")).as("mention"), col("concept_id"))
@@ -441,11 +472,11 @@ object DictTrain {
     val (lcHarvested, ucHarvested) = splitUc(harvested)
     // 3. score the lowercase harvested dict with the two-pointer alignment,
     //    then naive by-note removal + greedy per-concept refinement
-    val scored = scoredPredictions(docs, golds, lcHarvested)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = scoredPredictions(docsP, goldsP, lcHarvested)
+      .persist(MEMORY_AND_DISK)
     val naive = pruneNaiveKeys(lcHarvested, keyScoresByNote(scored), thAny, thDict)
     val core =
-      if (greedy) pruneGreedyKeys(naive, keyScoresByMention(scored), golds, thAny, thDict)
+      if (greedy) pruneGreedyKeys(naive, keyScoresByMention(scored), goldsP, thAny, thDict)
       else naive
     // 4. externals added COND-UPDATE style (`cond_update`: a key already
     //    trained on the corpus is never overwritten by a synonym);
@@ -454,8 +485,9 @@ object DictTrain {
     val term = dictFromTerminology(concepts, descriptions)
     val ext = dictFromExternal(extConcepts, extMappings)
     // permutation blacklist: corpus words above ~the reference's
-    // blacklist_thresh=2000-over-150-notes rate (≈13 per note)
-    val permBlacklist = wordBlacklist(docs, cutoff = 13L * docs.count())
+    // blacklist_thresh=2000-over-150-notes rate (≈13 per note); the count
+    // reads the persisted docs (no extra synthesis pass)
+    val permBlacklist = wordBlacklist(docsP, cutoff = 13L * docsP.count())
       .select(col("word")).as[String].collect().toSet
     val expanded = expandEntries(core.union(term).union(ext), permBlacklist).distinct()
     val withAbbr = expanded.union(abbreviationEntries(abbr, expanded)).distinct()
@@ -471,12 +503,24 @@ object DictTrain {
       .union(ucExternal.toDF().toDF("section", "mention", "concept_id"))
       .distinct().as[DictEntry]
     // 5. "any" keys narrowed to sections observed for the concept's type
+    //    (allowedSectionsOf reads the SHARED mention extraction, not a
+    //    fresh corpus pass)
     val lcFinal =
       if (limitAny) {
         val cidToType = conceptTypes(descriptions)
-        limitAnyToAllowedSections(lcDict, allowedSections(docs, golds, cidToType), cidToType)
+        limitAnyToAllowedSections(lcDict, allowedSectionsOf(mentions, goldsP, cidToType), cidToType)
       } else lcDict
-    (lcFinal, ucDict)
+    // materialize the two output dictionaries eagerly so every intermediate
+    // cache (and the input frames, if we persisted them) can be released
+    // here — callers get small persisted dicts with no live lineage into
+    // the corpus
+    val lcOut = lcFinal.persist(MEMORY_AND_DISK)
+    val ucOut = ucDict.persist(MEMORY_AND_DISK)
+    lcOut.count(); ucOut.count()
+    mentions.unpersist(); harvested.unpersist(); ucNorms.unpersist(); scored.unpersist()
+    if (docsPersistedHere) docsP.unpersist()
+    if (goldsPersistedHere) goldsP.unpersist()
+    (lcOut, ucOut)
   }
 
   /** Combined view of the split dictionaries (uc entries carry UPPERCASE

@@ -43,6 +43,37 @@ object LinkageQueries {
     spark.range(n.toLong).flatMap(i => Synth.genDoc(i, k)._2)
   }
 
+  /** Session-memoized PERSISTED (docs, gold) pair for a sf dir. Ten driver
+    * queries consume the same deterministic corpus; without this every one
+    * re-ran `genDoc` over the whole corpus (the measured round-2 regression:
+    * the generator is allocator-bound fixture cost, not engine work). The
+    * same input-materialization principle as the scaling protocol in
+    * BENCH/BASELINE.md — queries are timed reading a table, not
+    * synthesizing one. */
+  private val corpusCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Dataset[Doc], Dataset[GoldAnnotation])]()
+
+  def sharedCorpus(s: SparkSession, dir: String): (Dataset[Doc], Dataset[GoldAnnotation]) = {
+    val key = s.sparkContext.hashCode().toString + "|" + dir
+    corpusCache.computeIfAbsent(key, _ => {
+      import org.apache.spark.storage.StorageLevel
+      val n = corpusSize(dir)
+      (docs(s, n).persist(StorageLevel.MEMORY_AND_DISK),
+        gold(s, n).persist(StorageLevel.MEMORY_AND_DISK))
+    })
+  }
+
+  def sharedDocs(s: SparkSession, dir: String): Dataset[Doc] = sharedCorpus(s, dir)._1
+  def sharedGold(s: SparkSession, dir: String): Dataset[GoldAnnotation] = sharedCorpus(s, dir)._2
+
+  /** Release + forget the memoized corpus frames. */
+  def clearCorpusCache(): Unit = {
+    corpusCache.values.forEach { case (d, g) =>
+      try { d.unpersist(); g.unpersist() } catch { case _: Throwable => }
+    }
+    corpusCache.clear()
+  }
+
   def dict(spark: SparkSession, nDocs: Int): Dataset[DictEntry] = {
     import spark.implicits._
     spark.createDataset(Synth.dictionary(numConcepts(nDocs)))
@@ -61,7 +92,8 @@ object LinkageQueries {
     runCache.computeIfAbsent(key, _ => {
       implicit val sp: SparkSession = s
       val n = corpusSize(dir)
-      val mentions = LinkagePipeline.mentionsFromSpans(docs(s, n), gold(s, n))
+      val (d, g) = sharedCorpus(s, dir)
+      val mentions = LinkagePipeline.mentionsFromSpans(d, g)
       LinkagePipeline.run(mentions, dict(s, n))
     })
   }
@@ -85,14 +117,14 @@ object LinkageQueries {
       import s.implicits._
       val n = corpusSize(dir)
       val k = numConcepts(n)
-      val (lc, uc) = graft.operators.DictTrain.trainDictionarySplit(
-        docs(s, n), gold(s, n),
+      val (d, g) = sharedCorpus(s, dir)
+      // trainDictionarySplit returns persisted, eagerly materialized dicts
+      graft.operators.DictTrain.trainDictionarySplit(
+        d, g,
         s.createDataset(Synth.concepts(k)), s.createDataset(Synth.descriptions(k)),
         s.createDataset(Synth.extConcepts(k)).toDF(),
         s.createDataset(Synth.extMappings(k)).toDF(),
         s.createDataset(Synth.abbreviations(k)).toDF())
-      import org.apache.spark.storage.StorageLevel
-      (lc.persist(StorageLevel.MEMORY_AND_DISK), uc.persist(StorageLevel.MEMORY_AND_DISK))
     })
   }
 
@@ -106,7 +138,7 @@ object LinkageQueries {
     val k = numConcepts(n)
     val lc = spark.createDataset(Synth.dictionary(k, includeAbbrs = false))
     val uc = spark.createDataset(Synth.ucDictionary(k))
-    graft.operators.DictTrain.infer(docs(spark, n), lc, uc)
+    graft.operators.DictTrain.infer(sharedDocs(spark, sfDir), lc, uc)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -119,7 +151,7 @@ object LinkageQueries {
       (s, dir) => {
         val n = corpusSize(dir)
         val pred = annotate(s, dir).toDF()
-        val gt = gold(s, n).toDF()
+        val gt = sharedGold(s, dir).toDF()
         val (perConcept, macroAvg) = Metrics.macroCharIou(
           pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")), gt)
         val nConcepts = perConcept.count()
@@ -136,11 +168,11 @@ object LinkageQueries {
       (s, dir) => {
         import s.implicits._
         val n = corpusSize(dir)
-        val before = docs(s, n).map(d => (d.doc_id, spanChecksum(d)))
+        val before = sharedDocs(s, dir).map(d => (d.doc_id, spanChecksum(d)))
           .toDF("doc_id", "checksum_before")
         val rt = java.nio.file.Files
           .createTempDirectory("span_invariant").toString + "/docs"
-        graft.sources.Readers.writeDocs(docs(s, n), rt)
+        graft.sources.Readers.writeDocs(sharedDocs(s, dir), rt)
         val after = graft.sources.Readers.readDocs(s, rt)
           .map(d => (d.doc_id, spanChecksum(d)))
           .toDF("doc_id", "checksum_after")
@@ -181,10 +213,10 @@ object LinkageQueries {
         import s.implicits._
         val n = corpusSize(dir)
         val (lc, uc) = sharedTrainedDicts(s, dir)
-        val pred = graft.operators.DictTrain.infer(docs(s, n), lc, uc).toDF()
+        val pred = graft.operators.DictTrain.infer(sharedDocs(s, dir), lc, uc).toDF()
         val (_, macroAvg) = Metrics.macroCharIou(
           pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),
-          gold(s, n).toDF())
+          sharedGold(s, dir).toDF())
         Seq(("macro_char_iou_trained_dict", macroAvg)).toDF("metric", "value")
       }, None),
 
@@ -232,7 +264,7 @@ object LinkageQueries {
         import s.implicits._
         val n = corpusSize(dir)
         val k = numConcepts(n)
-        val ds = docs(s, n)
+        val ds = sharedDocs(s, dir)
         // trained-dict scenario: the specific child terms are NOT in the
         // matching dictionary — the rewrite stage is what recovers them
         val baseDict = s.createDataset(
@@ -252,8 +284,8 @@ object LinkageQueries {
         implicit val sp: SparkSession = s
         import s.implicits._
         val n = corpusSize(dir)
-        val ds = docs(s, n)
-        val a = LinkagePipeline.mentionsFromSpans(ds, gold(s, n)).toDF()
+        val ds = sharedDocs(s, dir)
+        val a = LinkagePipeline.mentionsFromSpans(ds, sharedGold(s, dir)).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("norm").as("term"))
         val b = annotate(s, dir).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("dict_entry").as("term"))
@@ -265,7 +297,7 @@ object LinkageQueries {
       (s, dir) => {
         implicit val sp: SparkSession = s
         val n = corpusSize(dir)
-        graft.operators.Context.mentionContexts(docs(s, n), annotate(s, dir))
+        graft.operators.Context.mentionContexts(sharedDocs(s, dir), annotate(s, dir))
       }, None),
 
     // A6 nested per-name section stats (MapType) with the 'default' rollup
@@ -273,14 +305,14 @@ object LinkageQueries {
       (s, dir) => {
         implicit val sp: SparkSession = s
         val n = corpusSize(dir)
-        graft.operators.DictTrain.dictSectionStats(docs(s, n), gold(s, n))
+        graft.operators.DictTrain.dictSectionStats(sharedDocs(s, dir), sharedGold(s, dir))
       }, None),
 
     // chunking relation (C2/C3) over the interleaved docs
     QueryDef("chunking",
       (s, dir) => {
         implicit val sp: SparkSession = s
-        graft.operators.Chunking.apply(docs(s, corpusSize(dir))).toDF()
+        graft.operators.Chunking.apply(sharedDocs(s, dir)).toDF()
       }, None)
   )
 
@@ -296,7 +328,7 @@ object LinkageQueries {
     implicit val sp: SparkSession = s
     import s.implicits._
     val n = corpusSize(dir)
-    val g = gold(s, n)
+    val g = sharedGold(s, dir)
     val result = sharedRun(s, dir)
     val universeAll = Blocking.candidatePairs(
       result.blockKeys.filter(col("id").startsWith("m:")))
