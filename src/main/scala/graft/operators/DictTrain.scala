@@ -540,12 +540,13 @@ object DictTrain {
 
   /** The 1st-place two-pass inference: lowercase-dict annotate ∪
     * case-sensitive uc-dict annotate → per-doc overlap resolution
-    * (`mimic_predict.py:31-49` + join_predictions). */
+    * (`mimic_predict.py:31-49` + join_predictions). Runs FUSED: one doc
+    * scan probes both dictionaries and resolves overlaps in-row — zero
+    * shuffles (the two-pass + cogroup form is pinned identical by the
+    * DictionaryMatchSpec differential). */
   def infer(docs: Dataset[Doc], lcDict: Dataset[DictEntry], ucDict: Dataset[DictEntry])
            (implicit spark: SparkSession): Dataset[Annotation] =
-    DictionaryMatch.joinPredictions(
-      DictionaryMatch.annotate(docs, lcDict),
-      DictionaryMatch.annotate(docs, ucDict, caseSensitive = true))
+    DictionaryMatch.annotateDualResolved(docs, lcDict, ucDict)
 
   /** A6 — nested per-name section stats with a 'default' rollup
     * (`3rd Place/faiss_db_preparation.py:124-144`): for every mention name,

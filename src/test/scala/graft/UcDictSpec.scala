@@ -96,6 +96,24 @@ class UcDictSpec extends AnyFunSuite with SparkTestBase {
       s"uc path should beat case-folded abbrs: two-pass=$twoPass single=$single")
   }
 
+  test("fused dual-dict inference is identical to the two-pass + overlap-resolve form") {
+    val lcClean = spark.createDataset(Synth.dictionary(nConcepts, includeAbbrs = false))
+    val uc = spark.createDataset(Synth.ucDictionary(nConcepts))
+    // reference form: two annotate passes unioned, then the cogrouped
+    // per-doc overlap resolution
+    val twoPass = DictionaryMatch.joinPredictions(
+        DictionaryMatch.annotate(docs, lcClean),
+        DictionaryMatch.annotate(docs, uc, caseSensitive = true))
+      .collect().map(a => (a.doc_id, a.start, a.end, a.concept_id, a.section, a.dict_entry))
+      .toSet
+    val fused = DictionaryMatch.annotateDualResolved(docs, lcClean, uc)
+      .collect().map(a => (a.doc_id, a.start, a.end, a.concept_id, a.section, a.dict_entry))
+      .toSet
+    assert(fused == twoPass,
+      s"extra: ${fused -- twoPass take 5}, missing: ${twoPass -- fused take 5}")
+    assert(fused.nonEmpty)
+  }
+
   test("trained split dictionary routes uc-only keys to the uc dict and links them") {
     val k = nConcepts
     val (lc, uc) = DictTrain.trainDictionarySplit(
