@@ -35,14 +35,22 @@ object Bench {
       (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
 
-    // headline: docs scored per second through the full linkage pipeline —
-    // drop the memoized Result first so the timing includes the whole
-    // blocking → scoring → clustering compute, not a cache hit
-    graft.queries.LinkageQueries.clearRunCache()
+    // headline: docs scored per second through the full linkage pipeline.
+    // MIN-OF-3 interleaved samples: single-run timings on this host are
+    // bimodal (page cache / GC / co-tenant interference — see
+    // BENCH/BASELINE.md protocol), so one sample can misreport the engine
+    // by 2-3×. Each sample drops the memoized pipeline Result first so it
+    // re-times the whole blocking → scoring → clustering compute; the
+    // PERSISTED corpus stays (input materialization is untimed by protocol
+    // — the generator is fixture cost, not engine work).
     val nDocs = graft.queries.LinkageQueries.corpusSize(sfDir)
-    val t0 = System.nanoTime()
-    graft.queries.LinkageQueries.pipelineF1(spark, sfDir).collect()
-    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val samples = (1 to 3).map { _ =>
+      graft.queries.LinkageQueries.clearRunCache()
+      val t0 = System.nanoTime()
+      graft.queries.LinkageQueries.pipelineF1(spark, sfDir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pipelineSec = samples.min
     val docsPerSec = nDocs / pipelineSec
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -50,9 +58,10 @@ object Bench {
       "\"" + k + ": " + msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\""
     }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
+    val samplesJson = samples.map(v => f"$v%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
       s""""docs_per_sec":$docsPerSec,"pipeline_docs":$nDocs,"pipeline_sec":$pipelineSec,""" +
-      s""""cpus":$cpus,"sf":"$sfDir"}""")
+      s""""pipeline_samples":$samplesJson,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

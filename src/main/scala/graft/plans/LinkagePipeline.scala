@@ -81,19 +81,19 @@ object LinkagePipeline {
     * Measured effect: 40k docs produce ~144M mention-level candidate pairs
     * but only a few million surface-level ones — same clusters, ~50× less
     * shuffle. Mention assignments are projected back by a join on norm. */
-  private def surfaceNodesOf(mentions: Dataset[Mention], d: DataFrame): DataFrame = {
+  private[graft] def surfaceNodesOf(mentions: Dataset[Mention], d: DataFrame): DataFrame = {
     val surfaceNodes = mentions.toDF().select(col("norm")).distinct()
       .select(concat(lit("s:"), col("norm")).as("id"), col("norm"))
     val termNodes = d.select(concat(lit("t:"), col("mention")).as("id"), col("mention").as("norm"))
     surfaceNodes.union(termNodes).distinct()
   }
 
-  private def structEdgesOf(d: DataFrame): DataFrame =
+  private[graft] def structEdgesOf(d: DataFrame): DataFrame =
     d.select(concat(lit("t:"), col("mention")).as("a"),
       concat(lit("c:"), col("concept_id")).as("b"))
 
   /** Per-surface argmax link edge (see `run` scaladoc). */
-  private def argmaxEdges(scored: DataFrame): DataFrame = {
+  private[graft] def argmaxEdges(scored: DataFrame): DataFrame = {
     val st = scored.filter(col("a").startsWith("s:") && col("b").startsWith("t:"))
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
@@ -105,7 +105,7 @@ object LinkagePipeline {
   /** Mention-level assignments: every mention inherits its surface's
     * component; surfaces with no edges fall back to their own surface node
     * (same-surface mentions still co-cluster). */
-  private def mentionAssignments(mentions: Dataset[Mention], components: DataFrame): DataFrame = {
+  private[graft] def mentionAssignments(mentions: Dataset[Mention], components: DataFrame): DataFrame = {
     val surfaceComp = components.filter(col("id").startsWith("s:"))
       .select(expr("substring(id, 3)").as("norm2"), col("component"))
     mentions.toDF()
@@ -151,7 +151,21 @@ object LinkagePipeline {
     // scores remain in `scored` (pair diagnostics) but never form edges —
     // transitivity through concept nodes links co-referent surfaces.
     val simEdges = argmaxEdges(scored)
-    val components = ConnectedComponents(simEdges.union(structEdgesOf(d)))
+    // STAR CONTRACTION before the transitive closure: the t:→c: edges are
+    // a function (unambiguousDict gives every term exactly ONE concept), so
+    // rewriting each s:→t: link to s:→c: and unioning the term assignments
+    // back AFTER the loop yields identical components (each component holds
+    // at most one c:, which is also its lexicographic min — "c:" < "s:" <
+    // "t:"), but the iterated edge set has diameter 1 instead of 2+: CC
+    // converges in ~1 round instead of ~10, removing most of the stage
+    // barriers that capped pipeline scaling efficiency (VERDICT r2 #5).
+    // Pinned identical to CC over the uncontracted union in LinkageF1Spec.
+    val termConcept = d.select(concat(lit("t:"), col("mention")).as("b"),
+      concat(lit("c:"), col("concept_id")).as("concept_node"))
+    val contracted = simEdges.join(termConcept, "b")
+      .select(col("a"), col("concept_node").as("b"))
+    val components = ConnectedComponents(contracted)
+      .union(termConcept.select(col("b").as("id"), col("concept_node").as("component")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nodeAssignments = nodes.select(col("id"))
@@ -160,14 +174,17 @@ object LinkagePipeline {
     val assignments = mentionAssignments(mentions, components).union(nodeAssignments)
 
     // mention-level block keys (for the F1 universe / skew diagnostics):
-    // derived lazily by re-attaching surface keys to mentions via norm
+    // PERSISTED — the F1 gate consumes this table twice (universe self-join
+    // + count); unpersisted it re-ran the mention extraction and the
+    // norm→key distinct per consumer (VERDICT r2 #3)
     val mentionKeys = mentions.toDF()
       .select(concat(lit("m:"), col("doc_id"), lit(":"), col("start"), lit(":"), col("end")).as("id"),
         col("norm").as("mnorm"))
       .join(keysN.select(col("norm"), col("key")).distinct(), col("mnorm") === col("norm"))
       .select(col("id"), col("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     Result(assignments, scored, mentionKeys, keyFreq,
-      persisted = Seq(nodes, keysN, scored, components))
+      persisted = Seq(nodes, keysN, scored, components, mentionKeys))
   }
 
   /** Checkpoint-resumable variant: every stage commits to `workDir` through
@@ -193,8 +210,18 @@ object LinkagePipeline {
         keysN.filter(col("id").startsWith("t:")), hotKeyCap)
     }
     val scored = runner.stage("scored") { PairwiseScoring.scoreInline(pairs, weights) }
-    val edges = runner.stage("edges") { argmaxEdges(scored).union(structEdgesOf(d)) }
-    val components = runner.stage("components") { ConnectedComponents(edges) }
+    // same star contraction as `run` (see there): the committed "edges"
+    // artifact is the contracted surface→concept edge set
+    val termConcept = d.select(concat(lit("t:"), col("mention")).as("b"),
+      concat(lit("c:"), col("concept_id")).as("concept_node"))
+    val edges = runner.stage("edges") {
+      argmaxEdges(scored).join(termConcept, "b")
+        .select(col("a"), col("concept_node").as("b"))
+    }
+    val components = runner.stage("components") {
+      ConnectedComponents(edges)
+        .union(termConcept.select(col("b").as("id"), col("concept_node").as("component")))
+    }
     val assignments = runner.stage("assignments") {
       val nodeAssignments = nodes.select(col("id"))
         .join(components, Seq("id"), "left_outer")

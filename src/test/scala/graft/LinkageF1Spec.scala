@@ -50,6 +50,25 @@ class LinkageF1Spec extends AnyFunSuite with SparkTestBase {
     assert(f1 >= 0.99, f"F1 $f1%.4f below gate (P=$prec%.4f R=$rec%.4f)")
   }
 
+  test("star-contracted clustering equals CC over the uncontracted edge union") {
+    val mentions = LinkagePipeline.mentionsFromSpans(docs, golds)
+    val result = LinkagePipeline.run(mentions, dict)
+    // round-2 composition: large-star/small-star over s:→t: ∪ t:→c: edges
+    val d = LinkagePipeline.unambiguousDict(dict)
+    val oldComp = graft.operators.ConnectedComponents(
+      LinkagePipeline.argmaxEdges(result.scored)
+        .union(LinkagePipeline.structEdgesOf(d)))
+    val oldAssignments = LinkagePipeline.mentionAssignments(mentions, oldComp)
+      .union(LinkagePipeline.surfaceNodesOf(mentions, d).select(col("id"))
+        .join(oldComp, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component")))
+    val got = result.assignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = oldAssignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want,
+      s"extra: ${(got -- want).take(5)}, missing: ${(want -- got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("no component merges two distinct concepts") {
     val mentions = LinkagePipeline.mentionsFromSpans(docs, golds)
     val result = LinkagePipeline.run(mentions, dict)
