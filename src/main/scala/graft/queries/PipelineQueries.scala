@@ -96,10 +96,32 @@ object PipelineQueries {
           classCol = Some("label"))
       }, None),
 
-    // Language identification (n-gram/stopword heuristic).
+    // Language identification (n-gram/stopword heuristic). The oracle
+    // replays the same heuristic in SQL: normalize (lowercase, non-alnum →
+    // separator), count stopword hits per language profile, argmax with
+    // alphabetical tie-break, 0 hits → 'und'. The CJK codepoint branch is
+    // omitted SQL-side — the driver corpus is verified pure-ASCII, where
+    // the branch is a no-op.
     QueryDef("lang_id",
       (s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("n")), None),
+        .groupBy("lang_pred").agg(count(lit(1)).as("n")),
+      Some("""WITH t AS (SELECT list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |s AS (SELECT
+             |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit','von','für','nicht','ein','eine','zu'))) AS de,
+             |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','was','with','for','that','this','are'))) AS en,
+             |  len(list_filter(toks, x -> x IN ('el','la','los','las','de','y','es','en','por','que','una','con'))) AS es,
+             |  len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','est','dans','pour','que','une','avec'))) AS fr,
+             |  len(list_filter(toks, x -> x IN ('o','os','de','e','em','um','uma','para','com','não','que','do'))) AS pt
+             |  FROM t),
+             |p AS (SELECT CASE WHEN greatest(de,en,es,fr,pt) = 0 THEN 'und'
+             |  WHEN de = greatest(de,en,es,fr,pt) THEN 'de'
+             |  WHEN en = greatest(de,en,es,fr,pt) THEN 'en'
+             |  WHEN es = greatest(de,en,es,fr,pt) THEN 'es'
+             |  WHEN fr = greatest(de,en,es,fr,pt) THEN 'fr'
+             |  ELSE 'pt' END AS lang_pred FROM s)
+             |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1""".stripMargin)),
 
     // Quality scoring — column-expression features, DuckDB-verifiable.
     QueryDef("quality_features",

@@ -442,6 +442,30 @@ object RelationalQueries {
              |  FROM u)
              |SELECT round(ni/np, 4) AS precision, round(ni/ng, 4) AS recall,
              |  round(2*(ni/np)*(ni/ng)/((ni/np)+(ni/ng)), 4) AS f1
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // M4 hit@k linking accuracy (`3rd Place/src/metrics.py:119-144`) run on
+    // arithmetically derived candidate lists: per order, a ranked list of 20
+    // pseudo-candidates and a truth id, both pure index arithmetic — the
+    // derived-data oracle pattern (the metric code is what's under test;
+    // DuckDB regenerates the same lists and slices them per k).
+    QueryDef("metric_hit_at_k",
+      (s, dir) => {
+        val d = t(s, dir, "orders").select(
+          expr("transform(sequence(0, 19), i -> (o_orderkey * 7 + i * 11) % 50)")
+            .as("candidates"),
+          (col("o_custkey") % 50).as("truth"))
+        val h = graft.metrics.Metrics.hitAtK(d)
+        h.select(h.columns.map(c => round(col(c), 4).as(c)): _*)
+      },
+      Some("""WITH d AS (SELECT
+             |  list_transform(range(0, 20), i -> (o_orderkey * 7 + i * 11) % 50) AS cand,
+             |  o_custkey % 50 AS truth FROM orders)
+             |SELECT
+             |  round(avg(CASE WHEN list_contains(cand[1:1], truth) THEN 1.0 ELSE 0.0 END), 4) AS hit_at_1,
+             |  round(avg(CASE WHEN list_contains(cand[1:5], truth) THEN 1.0 ELSE 0.0 END), 4) AS hit_at_5,
+             |  round(avg(CASE WHEN list_contains(cand[1:10], truth) THEN 1.0 ELSE 0.0 END), 4) AS hit_at_10,
+             |  round(avg(CASE WHEN list_contains(cand[1:20], truth) THEN 1.0 ELSE 0.0 END), 4) AS hit_at_20
+             |FROM d""".stripMargin))
   )
 }

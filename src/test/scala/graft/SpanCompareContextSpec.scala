@@ -143,4 +143,21 @@ class SpanCompareContextSpec extends AnyFunSuite with SparkTestBase {
       }
     assert(summed == expectedDefault)
   }
+
+  test("flat section stats carry exactly the MapType form's entries") {
+    val mapRows = DictTrain.dictSectionStats(docs, golds).collect()
+    val fromMap = mapRows.flatMap { r =>
+      val name = r.getString(0)
+      val best = r.getAs[Long]("concept_id")
+      r.getAs[Map[String, Map[Long, Long]]]("dict_sections").flatMap {
+        case (section, m) => m.map { case (cid, cnt) => (name, section, cid, cnt, best) }
+      }
+    }.toSet
+    val flat = DictTrain.dictSectionStatsFlat(docs, golds).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(flat == fromMap,
+      s"extra: ${(flat -- fromMap).take(3)}, missing: ${(fromMap -- flat).take(3)}")
+    assert(flat.nonEmpty)
+  }
 }
