@@ -86,6 +86,34 @@ object Metrics {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** J11 exact form — align-then-accuracy over two annotation tables
+    * (`3rd Place/src/metrics.py:79-144`): both sides are semi-filtered to
+    * the (note_id, start) keys present in BOTH (`filter_matching_rows`),
+    * the surviving rows aligned on that key, and linking accuracy@k
+    * computed as string membership of the truth concept in the first k
+    * entries of the comma-packed candidate list (`compute_accuracy`; the
+    * reference's last tier uses the WHOLE list, not a slice). Inputs:
+    * gt(note_id, start, concept_id), pred(note_id, start, top_concept_id).
+    * (note_id, start) must be unique per side — the reference aligns by
+    * row position after identical key filtering, which is only well-defined
+    * under that invariant. */
+  def alignAccuracy(gt: DataFrame, pred: DataFrame): DataFrame = {
+    val keys = gt.select(col("note_id"), col("start"))
+      .intersect(pred.select(col("note_id"), col("start")))
+    val g = gt.join(keys, Seq("note_id", "start"), "left_semi")
+    val p = pred.join(keys, Seq("note_id", "start"), "left_semi")
+    val aligned = g.join(p, Seq("note_id", "start"))
+      .withColumn("cands", split(col("top_concept_id"), ","))
+      .withColumn("truth", col("concept_id").cast("string"))
+    def acc(k: Int): org.apache.spark.sql.Column = round(avg(
+      when(array_contains(slice(col("cands"), 1, k), col("truth")), 1.0)
+        .otherwise(0.0)), 4)
+    aligned.agg(
+      acc(1).as("acc_at_1"), acc(5).as("acc_at_5"), acc(10).as("acc_at_10"),
+      round(avg(when(array_contains(col("cands"), col("truth")), 1.0)
+        .otherwise(0.0)), 4).as("acc_at_20"))
+  }
+
   /** M7 pairwise F1 over (a, b) pair sets with a < b pinned by the caller. */
   def pairwiseF1(pred: DataFrame, gold: DataFrame): (Double, Double, Double) = {
     val p = pred.select(col("a"), col("b")).distinct()

@@ -377,12 +377,42 @@ object LinkageQueries {
              |SELECT a.name, a.section, a.concept_id, a.cnt, b.best_concept
              |FROM allr a JOIN best b ON a.name = b.name""".stripMargin)),
 
-    // chunking relation (C2/C3) over the interleaved docs
+    // chunking relation (C2 sentence split + C3 greedy token-budget merge)
+    // over arithmetically derived doc texts, so every chunk boundary has a
+    // closed form the DuckDB oracle replays: per doc (one per customer row)
+    // all sentences carry the same token count t ≤ maxTokens (split phase
+    // is a no-op here — it stays exercised in GraphChunkingSpec on the
+    // synth corpus) and the greedy merge therefore packs exactly
+    // ⌊mergeTokens/t⌋ sentences per chunk. Sentence layout: unit
+    // "tok "·(t−1)+"tok. " of length 4t+1; sentences() assigns S_0=[0,4t)
+    // and S_k=[k(4t+1)−1,(k+1)(4t+1)−1) (each later sentence carries the
+    // preceding separator space), and the '. ' between sentences keeps
+    // whitespace-token runs from fusing across merged spans. The REAL
+    // chunkSpans operator runs Spark-side; only the expectation is
+    // closed-form.
     QueryDef("chunking",
       (s, dir) => {
         implicit val sp: SparkSession = s
-        graft.operators.Chunking.apply(sharedDocs(s, dir)).toDF()
-      }, None)
+        import s.implicits._
+        val docs = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey")).as[Long].map { ck =>
+            val t = 1 + (ck % 8).toInt
+            val nSent = 5 + (ck % 17).toInt
+            val unit = "tok " * (t - 1) + "tok. "
+            Doc(s"c$ck", Seq(DocSpan("text", unit * nSent, "", 0)))
+          }
+        graft.operators.Chunking.apply(docs, maxTokens = 8, mergeTokens = 25).toDF()
+      },
+      Some("""WITH d AS (SELECT c_custkey AS ck, 1 + c_custkey % 8 AS t,
+             |  5 + c_custkey % 17 AS ns FROM customer),
+             |p AS (SELECT ck, t, ns, 25 // t AS kg FROM d),
+             |c AS (SELECT 'c' || ck AS doc_id, t, ns, kg,
+             |  unnest(range(0, CAST(ceil(ns / CAST(kg AS DOUBLE)) AS BIGINT))) AS j FROM p)
+             |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+             |  CAST(CASE WHEN j = 0 THEN 0 ELSE j * kg * (4 * t + 1) - 1 END AS INT) AS start,
+             |  CAST(least((j + 1) * kg, ns) * (4 * t + 1) - 1 AS INT) AS "end",
+             |  CAST((least((j + 1) * kg, ns) - j * kg) * t AS INT) AS n_tokens
+             |FROM c""".stripMargin))
   )
 
   /** Distributed pairwise-F1 gate (metric M7 / BASELINE.json line 1).

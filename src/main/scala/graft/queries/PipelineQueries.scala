@@ -142,12 +142,26 @@ object PipelineQueries {
              |  - least(0.5, length(regexp_replace(text, '[^A-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)), 4) AS quality
              |FROM documents WHERE length(text) > 0""".stripMargin)),
 
-    // Document fingerprints (rolling hash + simhash + first minhash band).
+    // Document fingerprints. The 64-bit polynomial rolling hash
+    // (h = 31·h + char, wrapping mod 2^64) is replayed exactly in DuckDB
+    // via HUGEINT list_reduce over per-char codepoints — valid because the
+    // corpus is verified pure-ASCII (UTF-16 code units ≡ codepoints). The
+    // murmur-based simhash/minhash-band columns of the full fingerprint
+    // operator are not SQL-replayable; they stay covered by
+    // TextAnalysisSpec and the dedup_simhash/dedup_minhash paths.
     QueryDef("doc_fingerprint",
       (s, dir) => {
         implicit val sp = s
         TextAnalysis.fingerprints(t(s, dir, "documents"))
-      }, None),
+          .select(col("doc_id"), col("content_hash"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN r >= CAST(9223372036854775808 AS HUGEINT)
+             |       THEN r - CAST(18446744073709551616 AS HUGEINT) ELSE r END AS BIGINT) AS content_hash
+             |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |    list_transform(string_split(text, ''), x -> CAST(unicode(x) AS HUGEINT))),
+             |    (acc, c) -> (acc * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS r
+             |  FROM documents)""".stripMargin)),
 
     // Multimodal: media table from interleaved docs → batched stub decode.
     QueryDef("multimodal_features",

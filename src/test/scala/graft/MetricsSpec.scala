@@ -89,6 +89,23 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(2) == 0.75) // hit@10
   }
 
+  test("align-accuracy (J11 exact form): semi-filter both sides, accuracy@k") {
+    // keys: (n1,0) in both; (n1,10) gt-only (dropped); (n2,5) pred-only
+    // (dropped); (n2,20) in both. Aligned rows: 2.
+    val gt = Seq(("n1", 0, 7L), ("n1", 10, 9L), ("n2", 20, 3L))
+      .toDF("note_id", "start", "concept_id")
+    val pred = Seq(
+      ("n1", 0, "7,1,2,3,4,5,6,8,9,10,11,12,13,14,15,16,17,18,19,20"), // truth at rank 1
+      ("n2", 5, "9,9,9"),
+      ("n2", 20, "1,2,4,5,6,7,8,9,10,11,3,12,13,14,15,16,17,18,19,20")) // truth 3 at rank 11
+      .toDF("note_id", "start", "top_concept_id")
+    val r = Metrics.alignAccuracy(gt, pred).head()
+    assert(r.getDouble(0) == 0.5)  // acc@1: only n1/0
+    assert(r.getDouble(1) == 0.5)  // acc@5
+    assert(r.getDouble(2) == 0.5)  // acc@10: rank 11 still out
+    assert(r.getDouble(3) == 1.0)  // full list: both hit
+  }
+
   test("pairwise F1 symmetric and correct on small sets") {
     val p = Seq(("a", "b"), ("a", "c"), ("x", "y")).toDF("a", "b")
     val g = Seq(("a", "b"), ("x", "y"), ("m", "n")).toDF("a", "b")
