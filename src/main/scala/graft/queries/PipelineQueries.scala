@@ -181,6 +181,28 @@ object PipelineQueries {
           col("event_type"), col("n"), col("sum_value")),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Custom streaming state (flatMapGroupsWithState): per-user inactivity
+    // sessions. The oracle replays the session assignment as batch SQL
+    // (gaps-and-islands: break flags via lag, cumulative-sum session ids).
+    QueryDef("streaming_sessions",
+      (s, dir) => EventStream.sessionize(s, dir)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value")),
+      Some("""WITH m AS (SELECT user_id, ts, value, event_id,
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+             |       THEN 1 ELSE 0 END AS brk FROM events),
+             |g AS (SELECT user_id, ts, value,
+             |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+             |FROM g GROUP BY user_id, sid""".stripMargin))
   )
 }

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+import java.sql.Timestamp
 
 /** Structured-Streaming coverage. The reference is batch-only (SURVEY §2.13),
   * but the engine exposes the streaming shape of its per-event aggregations:
@@ -39,5 +41,80 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  case class EvRow(event_id: Long, user_id: Long, ts: Timestamp,
+                   event_type: String, value: Double)
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom streaming state (flatMapGroupsWithState): per-user sessions
+    * closed by a > `gapMinutes` inactivity window. State per user is O(1)
+    * — (start, last, n, sum) — the 10^12-doc shape: state size scales with
+    * LIVE users, not events. A sentinel event per user at
+    * global_max_ts + 2·gap (filtered from output) guarantees every open
+    * session closes IN-STREAM, so the drained result is total and
+    * deterministic without relying on event-time-timeout no-data batches.
+    * Events within a micro-batch are sorted by (ts, event_id) per group;
+    * at a given watermark discipline that order is total. */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // driver testdata carries TIMESTAMP_NTZ — normalize before driver-side reads
+    val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head()
+      .getTimestamp(0).getTime
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_sentinel").toString
+    ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"),
+        lit(new Timestamp(maxTs + 2 * gapMs)).as("ts"), col("user_id"),
+        lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props"))
+      .write.mode("overwrite").parquet(sentinelDir)
+
+    def src(dir: String, glob: String) = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+    val stream = src(sfDir, "events.parquet").union(src(sentinelDir, "*.parquet"))
+
+    // state carries epoch MICROS (Spark timestamp precision): millis would
+    // silently truncate the emitted session boundaries
+    def micros(ts: Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): Timestamp = Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    val gapUs = gapMs * 1000L
+    def fn(user: Long, it: Iterator[EvRow],
+           st: GroupState[SessState]): Iterator[SessionOut] = {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = st.getOption.orNull
+      for (e <- evs) {
+        val t = micros(e.ts)
+        if (cur != null && t - cur.last > gapUs) {
+          out += SessionOut(user, toTs(cur.start), toTs(cur.last), cur.n, cur.sum)
+          cur = null
+        }
+        if (e.event_type != "__sentinel__")
+          cur = if (cur == null) SessState(t, t, 1, e.value)
+                else SessState(cur.start, t, cur.n + 1, cur.sum + e.value)
+      }
+      if (cur != null) st.update(cur) else st.remove()
+      out.iterator
+    }
+
+    val name = "graft_sessions_" + math.abs(sfDir.hashCode).toString
+    val q = stream.as[EvRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 }
