@@ -128,6 +128,15 @@ object LinkageQueries {
     })
   }
 
+  /** Drop memoized trained dicts (bench re-timing: a second pass must
+    * re-pay the training compute, not read this cache). */
+  def clearTrainCache(): Unit = {
+    trainCache.values.forEach { case (lc, uc) =>
+      try { lc.unpersist(); uc.unpersist() } catch { case _: Throwable => }
+    }
+    trainCache.clear()
+  }
+
   /** The 1st-place inference path (SURVEY §3.1), both passes: lowercase
     * gazetteer annotate + case-sensitive uc-dict annotate → join_predictions
     * (per-doc overlap resolve) → flat annotation table. */
