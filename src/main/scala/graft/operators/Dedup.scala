@@ -103,9 +103,20 @@ object Dedup {
     import spark.implicits._
     val keyed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        // sampled shingles as blocking keys (deterministic 1-in-8 by hash)
-        wordShingles(text).iterator
-          .filter(s => (TextFns.hash64(s, 7) & 7L) == 0L).map(s => (id, s))
+        // sampled shingles as blocking keys, rate ADAPTIVE to doc length:
+        // largest power-of-two m with m ≤ n/16, i.e. ~n/m ≥ 16 sampled
+        // keys per doc. Two docs at jaccard ≥ τ then share ≥ ~16·τ
+        // expected sampled keys under the coarser of their two masks
+        // (a shared shingle collides iff its hash passes BOTH masks), so
+        // the pair-miss probability is ≤ e^(−16τ) ≈ 6e−7 at τ = 0.9 —
+        // a FIXED 1-in-8 rate missed real 40-shingle near-dup pairs
+        // (measured: pair (31, 383) at sf0.01), while short docs are
+        // exactly the ones where sampling saves nothing. Long-doc key
+        // cost stays O(n/16).
+        val sh = wordShingles(text)
+        val m = Integer.highestOneBit(math.max(1, sh.length / 16)).toLong
+        sh.iterator
+          .filter(s => (TextFns.hash64(s, 7) & (m - 1L)) == 0L).map(s => (id, s))
       }.toDF("doc_id", "key")
     val cand = keyed.toDF("a", "key").join(keyed.toDF("b", "key"), "key")
       .filter(col("a") < col("b")).select("a", "b").distinct()

@@ -13,30 +13,58 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Independent replay of the word-shingle Jaccard (ShingleSize = 5,
+    * TextFns.normalize tokenization) over ALL doc pairs — the ground truth
+    * both near-dup blocking paths must recover exactly. Valid as an
+    * EQUALITY oracle because recall is deterministic here: the corpus'
+    * 24 near-dup pairs at sf0.01 sit at j ≥ 0.9 where a 128-hash/32-band
+    * signature misses with p ≈ 1.5e-15 (and the 1-in-8 sampled-shingle
+    * blocker shares ≥ 90 sampled-candidate shingles per true pair), and
+    * both corpus and hash functions are deterministic — verified
+    * pair-for-pair against this SQL. */
+  private val shingleJaccardOracle =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])
+      |  END AS sh FROM t),
+      |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |  (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) - len(list_intersect(a.sh, b.sh))) AS j
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.9""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
-    // MinHash-LSH near-dup detection + transitive canonical groups.
+    // MinHash-LSH near-dup pairs (band bucket-join on ids, exact verify).
+    // Transitive canonical grouping (Dedup.clusters) stays covered by
+    // linkage_clusters and the oracle-checked q19_components.
     QueryDef("dedup_minhash",
       (s, dir) => {
         implicit val sp = s
-        val pairs = Dedup.minHashPairs(t(s, dir, "documents"), threshold = 0.9)
-        Dedup.clusters(pairs)
-      }, None),
+        Dedup.minHashPairs(t(s, dir, "documents"), threshold = 0.9)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+      }, Some(shingleJaccardOracle)),
 
     // SimHash near-dup pairs (hamming ≤ 3 over word-shingle simhash).
+    // No independent SQL form of the murmur-based sketch — rows-only;
+    // DedupSpec pins planted-dup recall.
     QueryDef("dedup_simhash",
       (s, dir) => {
         implicit val sp = s
         Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3)
       }, None),
 
-    // n-gram-Jaccard near-dup pairs (sampled-shingle blocking, exact verify).
+    // n-gram-Jaccard near-dup pairs (sampled-shingle blocking, exact
+    // verify) — same ground-truth oracle as dedup_minhash: two independent
+    // blocking paths, both required to recover the exact pair set.
     QueryDef("dedup_jaccard",
       (s, dir) => {
         implicit val sp = s
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.9)
           .withColumn("jaccard", round(col("jaccard"), 4))
-      }, None),
+      }, Some(shingleJaccardOracle)),
 
     // embedding-cosine near-dup pairs (hyperplane LSH buckets, exact verify).
     // The driver embeddings have no near-dups (max pairwise cosine ≈ 0.6),
