@@ -489,7 +489,11 @@ object DictTrain {
     // reads the persisted docs (no extra synthesis pass)
     val permBlacklist = wordBlacklist(docsP, cutoff = 13L * docsP.count())
       .select(col("word")).as[String].collect().toSet
-    val expanded = expandEntries(core.union(term).union(ext), permBlacklist).distinct()
+    // persist: the permutation expansion (largest intermediate) has TWO
+    // consumers below (the union and the abbreviation join) and would
+    // otherwise be computed twice
+    val expanded = expandEntries(core.union(term).union(ext), permBlacklist)
+      .distinct().persist(MEMORY_AND_DISK)
     val withAbbr = expanded.union(abbreviationEntries(abbr, expanded)).distinct()
     val extAdd = withAbbr.toDF()
       .join(core.toDF().select(col("section"), col("mention")),
@@ -518,6 +522,7 @@ object DictTrain {
     val ucOut = ucDict.persist(MEMORY_AND_DISK)
     lcOut.count(); ucOut.count()
     mentions.unpersist(); harvested.unpersist(); ucNorms.unpersist(); scored.unpersist()
+    expanded.unpersist()
     if (docsPersistedHere) docsP.unpersist()
     if (goldsPersistedHere) goldsP.unpersist()
     (lcOut, ucOut)
