@@ -66,6 +66,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     for (i <- 0 until 10) assert(pairs.contains((i.toLong, 200L + i)))
   }
 
+  test("adaptive shingle sampling recovers SHORT-doc near-dup pairs") {
+    // regression for the measured sf0.01 miss (pair 31/383, ~40 shingles):
+    // a fixed 1-in-8 sample rate gave short near-dup pairs a ~0.7% miss
+    // probability. With the adaptive mask, docs under 32 shingles sample
+    // EVERY shingle, so recovery of these pairs is guaranteed, not lucky.
+    val words = (0 until 30).map(i => s"w$i")
+    def doc(drop: Int) = words.zipWithIndex
+      .collect { case (w, i) if i != drop => w }.mkString(" ")
+    val shortDocs = (0 until 12).flatMap { k =>
+      // pair (10k, 10k+1): 29-token docs (25 shingles < 32 ⇒ mask 1 ⇒
+      // every shingle sampled) differing in one adjacent word drop
+      Seq((10L * k, doc(k)), (10L * k + 1, doc(k + 1)))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(shortDocs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- 0 until 12)
+      assert(pairs.contains((10L * k, 10L * k + 1)), s"missed short pair $k")
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val base = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d =>
