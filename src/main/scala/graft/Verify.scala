@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // enable the end-to-end oracle exports (LinkageQueries.ExportDir):
+    // only Verify sets this, so bench runs at other scale factors can
+    // never overwrite the parquet the DuckDB compare reads
+    System.setProperty("graft.export.oracle", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

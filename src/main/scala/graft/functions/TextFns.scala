@@ -143,12 +143,30 @@ object TextFns {
   def simHash64(s: String, ngram: Int = 3): Long =
     simHashOfSet(charNgrams(s, ngram))
 
-  /** SimHash over an arbitrary item set (e.g. word shingles). */
+  /** Per-gram hash of the simhash sketch: the 31-polynomial rolling hash
+    * finalized by an xorshift64*-style mix (multiply by the public odd
+    * constant M = 2685821657736338717 mod 2^64, fold high half into low).
+    * The raw polynomial alone leaves short grams' entropy in the low ~17
+    * bits (the variable term of a 3-char gram is < 2^17), which collapses
+    * simhash separation; the multiply-fold spreads it across all 64 bits.
+    * Chosen over murmur because every step is exactly replayable in SQL:
+    * HUGEINT mod-2^64 list_reduce + one mod-2^64 multiply (M < 2^62, so the
+    * INT128 product cannot overflow) + UBIGINT xor/shift — see the
+    * dedup_simhash oracle. */
+  def simGramHash(s: String): Long = {
+    val h = fingerprint64(s) * 2685821657736338717L
+    h ^ (h >>> 32)
+  }
+
+  /** SimHash over an arbitrary item set (e.g. word shingles). Cross-engine
+    * verifiable end to end (simGramHash + bit voting are both replayed in
+    * the dedup_simhash / doc_fingerprint oracles); near-dup quality pinned
+    * by DedupSpec/TextFnsSpec. */
   def simHashOfSet(grams: Array[String]): Long = {
     val acc = new Array[Int](64)
     var g = 0
     while (g < grams.length) {
-      val h = hash64(grams(g), 0x2545f491)
+      val h = simGramHash(grams(g))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

@@ -98,6 +98,19 @@ object Metrics {
     * row position after identical key filtering, which is only well-defined
     * under that invariant. */
   def alignAccuracy(gt: DataFrame, pred: DataFrame): DataFrame = {
+    // the positional alignment is only well-defined when (note_id, start)
+    // is unique per side — a duplicated key would multiply rows through the
+    // inner join and silently skew accuracy@k. Enforced fail-fast (ADVICE
+    // r3): cheap dimension-scale aggregations, loud error over silent drift.
+    def assertUnique(df: DataFrame, side: String): Unit = {
+      val dup = df.groupBy(col("note_id"), col("start"))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"alignAccuracy: $side has duplicate (note_id, start) keys — " +
+          "positional alignment undefined")
+    }
+    assertUnique(gt, "gt")
+    assertUnique(pred, "pred")
     val keys = gt.select(col("note_id"), col("start"))
       .intersect(pred.select(col("note_id"), col("start")))
     val g = gt.join(keys, Seq("note_id", "start"), "left_semi")

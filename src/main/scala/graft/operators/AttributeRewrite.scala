@@ -115,12 +115,17 @@ object AttributeRewrite {
             maxBroadcastRows: Long = 5000000L)
            (implicit spark: SparkSession): Dataset[Annotation] = {
     import spark.implicits._
-    val rows = attTable
+    val attDs = attTable
       .select(col("general_id").cast("long"), col("specific_id").cast("long"),
         col("additional_word"))
-      .as[(Long, Long, String)].collect()
-    require(rows.length <= maxBroadcastRows,
-      s"attribute table has ${rows.length} rows > broadcast cap $maxBroadcastRows")
+      .as[(Long, Long, String)]
+    // guard BEFORE collecting (count → require → collect, the
+    // Similarity.bruteForceTopK pattern): an over-size attribute table must
+    // fail loudly, not OOM the driver materializing it first
+    val nAtt = attDs.count()
+    require(nAtt <= maxBroadcastRows,
+      s"attribute table has $nAtt rows > broadcast cap $maxBroadcastRows")
+    val rows = attDs.collect()
     val att: Map[Long, Seq[(String, Long)]] = rows.toSeq
       .groupBy(_._1)
       .map { case (g, rs) =>

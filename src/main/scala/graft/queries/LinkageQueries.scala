@@ -150,24 +150,66 @@ object LinkageQueries {
     graft.operators.DictTrain.infer(sharedDocs(spark, sfDir), lc, uc)
   }
 
+  /** Export dir for the end-to-end pipeline oracles (VERDICT r3 Next #1):
+    * the graded queries write their ACTUAL inputs (engine outputs) to
+    * parquet at this fixed path, and the oracle SQL re-scores them in
+    * DuckDB with the same interval-IoU / pair-F1 SQL already proven on
+    * derived data (`metric_macro_iou` / `metric_pairwise_f1`). The path
+    * must be static because oracle SQL is static. Exports happen only when
+    * `graft.export.oracle` is set (Verify sets it; Bench does not — so a
+    * later bench run at a different sf can never overwrite the exports the
+    * driver's DuckDB pass reads, and export IO never pollutes timings). */
+  val ExportDir = "/tmp/graft_export"
+
+  private def exportEnabled: Boolean = sys.props.contains("graft.export.oracle")
+
+  private def exportTable(df: DataFrame, name: String): Unit =
+    if (exportEnabled)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$ExportDir/$name")
+
   val defs: Seq[QueryDef] = Seq(
     // final annotation table (reference submission shape + section/dict_entry)
     QueryDef("linkage_annotate",
       (s, dir) => annotate(s, dir).toDF(), None),
 
-    // official-metric query: macro char IoU of the gazetteer path vs gold
+    // official-metric query: macro char IoU of the gazetteer path vs gold.
+    // END-TO-END ORACLE (r4): the pred table (real two-pass inference
+    // output) and the gold table are exported to parquet and DuckDB
+    // re-scores them with the char-painting interval-IoU SQL proven in
+    // metric_macro_iou — the hard oracle sits on the pipeline RESULT, not
+    // just the metric function. Both sides are non-overlapping per doc
+    // (pred is overlap-resolved; synth gold is disjoint by construction),
+    // where char painting ≡ the engine's interval arithmetic.
     QueryDef("linkage_macro_iou",
       (s, dir) => {
         val n = corpusSize(dir)
         val pred = annotate(s, dir).toDF()
+          .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
         val gt = sharedGold(s, dir).toDF()
-        val (perConcept, macroAvg) = Metrics.macroCharIou(
-          pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")), gt)
+          .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
+        exportTable(pred, "liou_pred")
+        exportTable(gt, "liou_gold")
+        val (perConcept, macroAvg) = Metrics.macroCharIou(pred, gt)
         val nConcepts = perConcept.count()
         import s.implicits._
-        Seq(("macro_char_iou", macroAvg, nConcepts))
+        Seq(("macro_char_iou", math.rint(macroAvg * 10000) / 10000, nConcepts))
           .toDF("metric", "value", "n_concepts")
-      }, None),
+      },
+      Some(s"""WITH p AS (SELECT doc_id AS doc, concept_id AS cid, "start" AS s, "end" AS e
+             |  FROM read_parquet('$ExportDir/liou_pred/*.parquet')),
+             |g AS (SELECT doc_id AS doc, concept_id AS cid, "start" AS s, "end" AS e
+             |  FROM read_parquet('$ExportDir/liou_gold/*.parquet')),
+             |pp AS (SELECT DISTINCT doc, cid, pos FROM
+             |  (SELECT doc, cid, unnest(range(s, e)) AS pos FROM p)),
+             |gg AS (SELECT DISTINCT doc, cid, pos FROM
+             |  (SELECT doc, cid, unnest(range(s, e)) AS pos FROM g)),
+             |inter AS (SELECT cid, count(*) AS n FROM pp JOIN gg USING (doc, cid, pos) GROUP BY cid),
+             |un AS (SELECT cid, count(*) AS n FROM
+             |  (SELECT doc, cid, pos FROM pp UNION SELECT doc, cid, pos FROM gg) GROUP BY cid)
+             |SELECT 'macro_char_iou' AS metric,
+             |  round(avg(CAST(coalesce(inter.n, 0) AS DOUBLE) / un.n), 4) AS value,
+             |  CAST(count(*) AS BIGINT) AS n_concepts
+             |FROM un LEFT JOIN inter ON un.cid = inter.cid""".stripMargin)),
 
     // span-sequence invariant (input_hint): per-doc checksum of
     // (kind, text, media_ref, order) survives a real round-trip through the
@@ -195,9 +237,30 @@ object LinkageQueries {
       (s, dir) => sharedRun(s, dir).assignments, None),
 
     // the north-rule gate computed distributed: pairwise P/R/F1 on labeled
-    // mention pairs at the same blocking key
+    // mention pairs at the same blocking key. END-TO-END ORACLE (r4): the
+    // query's actual inputs — the sampled candidate-pair universe, the gold
+    // labels, and the engine's cluster ASSIGNMENTS (real blocking → scoring
+    // → CC output) — are exported to parquet and DuckDB recomputes
+    // tp/fp/fn/P/R/F1 with the plain pair-counting SQL proven in
+    // metric_pairwise_f1.
     QueryDef("linkage_pairwise_f1",
-      (s, dir) => pipelineF1(s, dir), None),
+      (s, dir) => pipelineF1(s, dir),
+      Some(s"""WITH u AS (SELECT a, b FROM read_parquet('$ExportDir/f1_universe/*.parquet')),
+             |l AS (SELECT id, cid FROM read_parquet('$ExportDir/f1_labels/*.parquet')),
+             |c AS (SELECT id, component FROM read_parquet('$ExportDir/f1_assign/*.parquet')),
+             |j AS (SELECT (la.cid = lb.cid) AS gold, (ca.component = cb.component) AS pred
+             |  FROM u JOIN l la ON u.a = la.id JOIN l lb ON u.b = lb.id
+             |  JOIN c ca ON u.a = ca.id JOIN c cb ON u.b = cb.id),
+             |s AS (SELECT CAST(count(*) FILTER (gold AND pred) AS DOUBLE) AS tp,
+             |  CAST(count(*) FILTER (NOT gold AND pred) AS DOUBLE) AS fp,
+             |  CAST(count(*) FILTER (gold AND NOT pred) AS DOUBLE) AS fneg,
+             |  count(*) AS n FROM j),
+             |pr AS (SELECT CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS p,
+             |  CASE WHEN tp + fneg = 0 THEN 0.0 ELSE tp / (tp + fneg) END AS r, n FROM s)
+             |SELECT round(p, 4) AS precision, round(r, 4) AS recall,
+             |  round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 4) AS f1,
+             |  CAST(n AS BIGINT) AS n_pairs
+             |FROM pr""".stripMargin)),
 
     // blocking skew report (per-key frequencies — the lineage/metrics view
     // that proves hot keys are capped)
@@ -399,18 +462,36 @@ object LinkageQueries {
     // whitespace-token runs from fusing across merged spans. The REAL
     // chunkSpans operator runs Spark-side; only the expectation is
     // closed-form.
+    // r4 adds a second derived family ('s' docs) whose sentences carry
+    // T = 8m > maxTokens tokens (m ∈ {2,3}), so the SPLIT phase cuts every
+    // sentence into m exact-budget pieces of 8 tokens before the greedy
+    // merge packs 3 pieces (24 ≤ 25) per chunk — closing the r3 gap where
+    // the oracle-checked path exercised only the merge phase (VERDICT r3
+    // missing #3). Piece boundaries have the closed form below (validated
+    // against a literal transcription of chunkSpans): sentence k ≥ 1 starts
+    // at k(4T+1)−1 carrying the preceding separator space; piece q of
+    // sentence k starts at +1+32q (the split cuts at the 9th token start).
     QueryDef("chunking",
       (s, dir) => {
         implicit val sp: SparkSession = s
         import s.implicits._
-        val docs = s.read.parquet(s"$dir/customer.parquet")
+        val mergeDocs = s.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey")).as[Long].map { ck =>
             val t = 1 + (ck % 8).toInt
             val nSent = 5 + (ck % 17).toInt
             val unit = "tok " * (t - 1) + "tok. "
             Doc(s"c$ck", Seq(DocSpan("text", unit * nSent, "", 0)))
           }
-        graft.operators.Chunking.apply(docs, maxTokens = 8, mergeTokens = 25).toDF()
+        val splitDocs = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey")).as[Long].map { ck =>
+            val m = 2 + (ck % 2).toInt
+            val t = 8 * m // every sentence needs the split phase
+            val nSent = 3 + (ck % 5).toInt
+            val unit = "tok " * (t - 1) + "tok. "
+            Doc(s"s$ck", Seq(DocSpan("text", unit * nSent, "", 0)))
+          }
+        graft.operators.Chunking.apply(mergeDocs.union(splitDocs),
+          maxTokens = 8, mergeTokens = 25).toDF()
       },
       Some("""WITH d AS (SELECT c_custkey AS ck, 1 + c_custkey % 8 AS t,
              |  5 + c_custkey % 17 AS ns FROM customer),
@@ -421,7 +502,23 @@ object LinkageQueries {
              |  CAST(CASE WHEN j = 0 THEN 0 ELSE j * kg * (4 * t + 1) - 1 END AS INT) AS start,
              |  CAST(least((j + 1) * kg, ns) * (4 * t + 1) - 1 AS INT) AS "end",
              |  CAST((least((j + 1) * kg, ns) - j * kg) * t AS INT) AS n_tokens
-             |FROM c""".stripMargin))
+             |FROM c
+             |UNION ALL
+             |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+             |  CAST(CASE WHEN p0 // m = 0 THEN 32 * (p0 % m)
+             |    ELSE (p0 // m) * (4 * T + 1) - 1 +
+             |      CASE WHEN p0 % m = 0 THEN 0 ELSE 1 + 32 * (p0 % m) END
+             |  END AS INT) AS start,
+             |  CAST(CASE WHEN p1 // m = 0 THEN 32 * (p1 % m + 1)
+             |    ELSE (p1 // m) * (4 * T + 1) + 32 * (p1 % m + 1)
+             |  END AS INT) AS "end",
+             |  CAST(8 * (p1 - p0 + 1) AS INT) AS n_tokens
+             |FROM (
+             |  SELECT doc_id, m, T, j, 3 * j AS p0, least(3 * j + 3, N) - 1 AS p1
+             |  FROM (SELECT 's' || ck AS doc_id, m, 8 * m AS T, m * ns AS N,
+             |      unnest(range(0, CAST(ceil(m * ns / 3.0) AS BIGINT))) AS j
+             |    FROM (SELECT c_custkey AS ck, 2 + c_custkey % 2 AS m,
+             |        3 + c_custkey % 5 AS ns FROM customer)))""".stripMargin))
   )
 
   /** Distributed pairwise-F1 gate (metric M7 / BASELINE.json line 1).
@@ -448,6 +545,12 @@ object LinkageQueries {
         pmod(xxhash64(col("a"), col("b")), lit(nPairs / maxUniversePairs + 1)) === 0)
     val labels = g.map(x => (s"m:${x.doc_id}:${x.start}:${x.end}", x.concept_id))
       .toDF("id", "cid")
+    // end-to-end oracle exports (Verify only): the sampled universe, the
+    // gold labels and the engine's cluster assignments — DuckDB re-scores
+    // these with plain pair-counting SQL (see the linkage_pairwise_f1 def)
+    exportTable(universe.select(col("a"), col("b")), "f1_universe")
+    exportTable(labels, "f1_labels")
+    exportTable(result.assignments.toDF("id", "component"), "f1_assign")
     val la = labels.toDF("a", "cid_a"); val lb = labels.toDF("b", "cid_b")
     val ca = result.assignments.toDF("a", "comp_a")
     val cb = result.assignments.toDF("b", "comp_b")
@@ -469,7 +572,9 @@ object LinkageQueries {
     val prec = if (tp + fp == 0) 0.0 else tp / (tp + fp)
     val rec = if (tp + fn == 0) 0.0 else tp / (tp + fn)
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
-    Seq((prec, rec, f1, judged.getLong(3))).toDF("precision", "recall", "f1", "n_pairs")
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    Seq((r4(prec), r4(rec), r4(f1), judged.getLong(3)))
+      .toDF("precision", "recall", "f1", "n_pairs")
   }
 
   def spanChecksum(d: Doc): Long =

@@ -13,6 +13,56 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The shingle/poly-hash SQL oracles replay Scala tokenization
+    * (`Character.isLetterOrDigit`) with the ASCII class `[^a-z0-9]+` and
+    * per-CHAR codepoints with UTF-16 code units — both only valid on a
+    * pure-ASCII corpus. Guarded once per sf dir so a future corpus change
+    * fails loudly here instead of producing silent oracle drift
+    * (ADVICE r3). */
+  private val asciiChecked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def asciiDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    asciiChecked.computeIfAbsent(dir, _ => {
+      val bad = d.filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).limit(1).count()
+      require(bad == 0, s"documents.text in $dir is not pure ASCII — the " +
+        "SQL shingle/poly-hash oracles assume UTF-16 code units == codepoints")
+      java.lang.Boolean.TRUE
+    })
+    d
+  }
+
+  /** Per-doc simhash signature replayed entirely in SQL: the same word
+    * shingles as `Dedup.wordShingles` (positional, duplicates kept), each
+    * hashed with `TextFns.simGramHash` — 31-polynomial rolling hash
+    * (HUGEINT mod-2^64 list_reduce) finalized by the xorshift64*-style
+    * multiply-fold — then bit votes summed and sign bits packed. Yields
+    * CTE `sims(doc_id, simhash)`. */
+  private val simHashSigSql =
+    """t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |shl AS (SELECT doc_id, CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+      |  ELSE [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
+      |  END AS grams FROM t),
+      |gr AS (SELECT doc_id, unnest(grams) AS gram FROM shl),
+      |gp AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |    list_transform(string_split(gram, ''), x -> CAST(unicode(x) AS HUGEINT))),
+      |    (acc, c) -> (acc * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS UBIGINT) AS h
+      |  FROM gr),
+      |gm AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) * CAST(2685821657736338717 AS HUGEINT))
+      |    % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h2 FROM gp),
+      |gh AS (SELECT doc_id, xor(h2, h2 >> 32) AS hv FROM gm),
+      |bits AS (SELECT doc_id, b,
+      |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      |  FROM gh CROSS JOIN range(0, 64) rb(b) GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id, CAST(sum(CASE WHEN acc > 0
+      |      THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS raw
+      |  FROM bits GROUP BY doc_id),
+      |sims AS (SELECT doc_id, CAST(CASE WHEN raw >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN raw - CAST(18446744073709551616 AS HUGEINT) ELSE raw END AS BIGINT) AS simhash
+      |  FROM sig)""".stripMargin
+
   /** Independent replay of the word-shingle Jaccard (ShingleSize = 5,
     * TextFns.normalize tokenization) over ALL doc pairs — the ground truth
     * both near-dup blocking paths must recover exactly. Valid as an
@@ -43,18 +93,27 @@ object PipelineQueries {
     QueryDef("dedup_minhash",
       (s, dir) => {
         implicit val sp = s
-        Dedup.minHashPairs(t(s, dir, "documents"), threshold = 0.9)
+        Dedup.minHashPairs(asciiDocs(s, dir), threshold = 0.9)
           .withColumn("jaccard", round(col("jaccard"), 4))
       }, Some(shingleJaccardOracle)),
 
     // SimHash near-dup pairs (hamming ≤ 3 over word-shingle simhash).
-    // No independent SQL form of the murmur-based sketch — rows-only;
-    // DedupSpec pins planted-dup recall.
+    // ORACLE (r4): the 31-poly gram hash makes the whole sketch
+    // SQL-replayable; the oracle recomputes every doc's signature and takes
+    // ALL pairs at hamming ≤ 3 — a complete independent replay, valid as an
+    // equality check because the engine's 4×16-bit pigeonhole blocking is
+    // exhaustive for hamming ≤ 3 (≥1 chunk must match) and verification is
+    // exact. DedupSpec keeps the planted-dup recall gate.
     QueryDef("dedup_simhash",
       (s, dir) => {
         implicit val sp = s
-        Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 3)
-      }, None),
+        Dedup.simHashPairs(asciiDocs(s, dir), maxHamming = 3)
+      },
+      Some(s"""WITH $simHashSigSql
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
     // n-gram-Jaccard near-dup pairs (sampled-shingle blocking, exact
     // verify) — same ground-truth oracle as dedup_minhash: two independent
@@ -62,7 +121,7 @@ object PipelineQueries {
     QueryDef("dedup_jaccard",
       (s, dir) => {
         implicit val sp = s
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.9)
+        Dedup.ngramJaccardPairs(asciiDocs(s, dir), threshold = 0.9)
           .withColumn("jaccard", round(col("jaccard"), 4))
       }, Some(shingleJaccardOracle)),
 
@@ -115,14 +174,43 @@ object PipelineQueries {
              |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
              |WHERE rnk <= 5""".stripMargin)),
 
-    // LSH-bucketed ANN, per-class buckets (the scale path; recall vs brute
-    // force asserted in SimilaritySpec).
+    // LSH-bucketed ANN, per-class buckets (the scale path). ORACLE (r4,
+    // planted-twin construction): every vector re-enters 5 more times
+    // scaled ×2..×6 under vec_id + j·10^7. Cosine is scale-invariant, so
+    // each 6-member cluster is mutually at exactly 1.0 — strictly above the
+    // corpus' max real pairwise cosine (≈0.6) — and a scaled vector's
+    // hyperplane signature EQUALS the original's (dot signs unchanged), so
+    // all 5 co-members are guaranteed LSH candidates. Top-5 per query is
+    // therefore deterministic (5 twins at sim 1.0, ties by neighbor id) and
+    // equals brute-force SQL top-5 over the same augmented set — which is
+    // what the oracle computes. The REAL lshTopK path runs Spark-side
+    // (signatures, chunk buckets, id-only candidate dedup, vector re-attach,
+    // windowed top-k); recall on non-degenerate neighbors stays gated by
+    // SimilaritySpec (recall@5 ≥ 0.99 vs brute force).
     QueryDef("ann_lsh",
       (s, dir) => {
         implicit val sp = s
-        Similarity.lshTopK(t(s, dir, "embeddings"), k = 5,
-          classCol = Some("label"))
-      }, None),
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val aug = (0 to 5).map { j =>
+          e.select((col("vec_id") + j * 10000000L).as("vec_id"), col("label"),
+            expr(s"transform(embedding, x -> CAST(x * CAST(${j + 1} AS FLOAT) AS FLOAT))")
+              .as("embedding"))
+        }.reduce(_.union(_))
+        Similarity.lshTopK(aug, k = 5, classCol = Some("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |aug AS (SELECT vec_id + 10000000 * j AS vec_id, label,
+             |  list_transform(v, x -> x * (j + 1)) AS v
+             |  FROM e CROSS JOIN range(0, 6) t(j)),
+             |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+             |  FROM aug a JOIN aug b ON a.vec_id <> b.vec_id AND a.label = b.label)
+             |SELECT vec_id, neighbor_id, sim, rnk FROM (
+             |  SELECT vec_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+             |WHERE rnk <= 5""".stripMargin)),
 
     // Language identification (n-gram/stopword heuristic). The oracle
     // replays the same heuristic in SQL: normalize (lowercase, non-alnum →
@@ -173,23 +261,27 @@ object PipelineQueries {
     // Document fingerprints. The 64-bit polynomial rolling hash
     // (h = 31·h + char, wrapping mod 2^64) is replayed exactly in DuckDB
     // via HUGEINT list_reduce over per-char codepoints — valid because the
-    // corpus is verified pure-ASCII (UTF-16 code units ≡ codepoints). The
-    // murmur-based simhash/minhash-band columns of the full fingerprint
-    // operator are not SQL-replayable; they stay covered by
-    // TextAnalysisSpec and the dedup_simhash/dedup_minhash paths.
+    // corpus is verified pure-ASCII (UTF-16 code units ≡ codepoints). Since
+    // r4 the word-shingle SIMHASH column shares the same poly-hash family
+    // and is replayed too (see dedup_simhash); only the murmur-based
+    // minhash-band column stays spec-covered (TextAnalysisSpec +
+    // dedup_minhash's pair-exact oracle).
     QueryDef("doc_fingerprint",
       (s, dir) => {
         implicit val sp = s
-        TextAnalysis.fingerprints(t(s, dir, "documents"))
-          .select(col("doc_id"), col("content_hash"))
+        TextAnalysis.fingerprints(asciiDocs(s, dir))
+          .select(col("doc_id"), col("content_hash"), col("simhash"))
       },
-      Some("""SELECT doc_id,
+      Some(s"""WITH $simHashSigSql,
+             |ch AS (SELECT doc_id,
              |  CAST(CASE WHEN r >= CAST(9223372036854775808 AS HUGEINT)
              |       THEN r - CAST(18446744073709551616 AS HUGEINT) ELSE r END AS BIGINT) AS content_hash
              |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
              |    list_transform(string_split(text, ''), x -> CAST(unicode(x) AS HUGEINT))),
              |    (acc, c) -> (acc * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS r
-             |  FROM documents)""".stripMargin)),
+             |  FROM documents))
+             |SELECT ch.doc_id, ch.content_hash, sims.simhash
+             |FROM ch JOIN sims USING (doc_id)""".stripMargin)),
 
     // Multimodal: media table from interleaved docs → batched stub decode.
     QueryDef("multimodal_features",

@@ -63,9 +63,14 @@ object EventStream {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    // driver testdata carries TIMESTAMP_NTZ — normalize before driver-side reads
-    val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head()
-      .getTimestamp(0).getTime
+    // driver testdata carries TIMESTAMP_NTZ — normalize before driver-side
+    // reads; one job yields both the sentinel timestamp and the row count
+    // used by the single-batch assertion below
+    val stats = ev.agg(max(col("ts").cast("timestamp")), count(lit(1))).head()
+    val nEvents = stats.getLong(1)
+    if (nEvents == 0) // empty source: no sessions (guard: max(ts) is null)
+      return spark.emptyDataset[SessionOut].toDF()
+    val maxTs = stats.getTimestamp(0).getTime
     val sentinelDir = java.nio.file.Files
       .createTempDirectory("graft_sentinel").toString
     ev.select(col("user_id")).distinct()
@@ -115,6 +120,25 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // the per-group (ts, event_id) sort is INTRA-batch: correctness needs
+    // every event file in the FIRST micro-batch (the FileStreamSource
+    // default — no maxFilesPerTrigger is ever set here). Assert it instead
+    // of assuming it (ADVICE r3): if a future config change split the
+    // source across triggers, cross-batch event-time disorder would corrupt
+    // sessions silently.
+    val firstBatchRows = q.recentProgress.headOption.map(_.numInputRows).getOrElse(0L)
+    require(firstBatchRows >= nEvents,
+      s"sessionize: first micro-batch carried $firstBatchRows of $nEvents " +
+        "events — the intra-batch sort assumption is violated")
+    // the memory sink holds the result; the sentinel scratch dir can go
+    val out = spark.table(name)
+    deleteRecursively(new java.io.File(sentinelDir))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
   }
 }
