@@ -482,6 +482,28 @@ object DictionaryMatch {
     }
   }
 
+  /** Fused single-dict annotate + per-doc overlap resolution in ONE narrow
+    * flatMap — zero shuffles. `OverlapResolve.apply` after `annotateText`
+    * is semantically identical but pays a full shuffle of every annotation
+    * row (serialize → hash-exchange → collect_list → rebuild) just to
+    * regroup rows that were ALL produced by the same matchDoc call; at 4M
+    * docs that shuffle (and its allocation) was the dominant scaling cost
+    * of the storage-read annotate job. Equivalence pinned by the
+    * DictionaryMatchSpec differential. */
+  def annotateTextResolved(docs: Dataset[(String, String)], dict: Dataset[DictEntry],
+                           maxTokens: Int = 6, minStart: Int = 100,
+                           caseSensitive: Boolean = false)
+                          (implicit spark: SparkSession): Dataset[Annotation] = {
+    import spark.implicits._
+    val (dictMap, firstTokens) = dictStructures(collectDict(dict))
+    val dmB = spark.sparkContext.broadcast(dictMap)
+    val ftB = spark.sparkContext.broadcast(firstTokens)
+    docs.flatMap { case (id, text) =>
+      OverlapResolve.removeOverlaps(
+        matchDoc(id, text, maxTokens, minStart, dmB.value, ftB.value, caseSensitive))
+    }
+  }
+
   /** Fused two-dict inference: lc + uc matching AND per-doc overlap
     * resolution in a single narrow flatMap — the whole 1st-place inference
     * (`mimic_predict.py:31-49` + join_predictions) becomes ONE doc pass

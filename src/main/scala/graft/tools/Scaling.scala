@@ -82,8 +82,10 @@ object Scaling {
     import graft.model.DictEntry
     val docsText = spark.read.parquet(s"$dir/ann_docs").as[(String, String)]
     val dict = spark.read.parquet(s"$dir/ann_dict").as[DictEntry]
-    graft.operators.OverlapResolve.apply(
-      graft.operators.DictionaryMatch.annotateText(docsText, dict)).count()
+    // fused probe + IN-ROW overlap resolve (the production inference shape,
+    // r4): same output as OverlapResolve.apply(annotateText(...)) minus the
+    // row shuffle that only regrouped rows already co-produced per doc
+    graft.operators.DictionaryMatch.annotateTextResolved(docsText, dict).count()
   }
 
   def pipelineJob(spark: SparkSession, dir: String, nDocs: Int): Long = {

@@ -120,6 +120,19 @@ class DictionaryMatchSpec extends AnyFunSuite with SparkTestBase {
     assert(wrong.isEmpty, s"wrong links: ${wrong.take(3).mkString}")
   }
 
+  test("fused annotateTextResolved equals shuffle-based annotate + resolve") {
+    import spark.implicits._
+    val textDs = spark.createDataset(docs.map(d => (d.doc_id, d.text)))
+    val fused = DictionaryMatch.annotateTextResolved(
+        textDs, spark.createDataset(dict), maxTokens = 4)
+      .collect().map(a => (a.doc_id, a.start, a.end, a.concept_id, a.section, a.dict_entry))
+    val twoStep = OverlapResolve.apply(DictionaryMatch.annotateText(
+        textDs, spark.createDataset(dict), maxTokens = 4))
+      .collect().map(a => (a.doc_id, a.start, a.end, a.concept_id, a.section, a.dict_entry))
+    assert(fused.sorted.toSeq == twoStep.sorted.toSeq)
+    assert(fused.nonEmpty)
+  }
+
   test("section-restricted dictionary entries only fire in their section") {
     import spark.implicits._
     val matched = DictionaryMatch.annotate(
