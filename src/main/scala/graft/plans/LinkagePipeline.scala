@@ -29,8 +29,9 @@ object LinkagePipeline {
 
   case class Result(assignments: DataFrame, // (id, component)
                     scored: DataFrame,      // (a, b, jw, lev_ratio, cos, score)
-                    blockKeys: DataFrame,   // (id, key)
+                    blockKeys: DataFrame,   // (id, key) MENTION-level keys
                     keyFreq: DataFrame,     // (key, freq) skew report
+                    nodeKeys: DataFrame = null, // (id, key) node-level keys (keyFreq's input)
                     persisted: Seq[DataFrame] = Seq.empty) {
     /** Unpersist every DataFrame `run` cached — call once the outputs are
       * materialized (or when evicting a memoized Result). */
@@ -183,7 +184,7 @@ object LinkagePipeline {
       .join(keysN.select(col("norm"), col("key")).distinct(), col("mnorm") === col("norm"))
       .select(col("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    Result(assignments, scored, mentionKeys, keyFreq,
+    Result(assignments, scored, mentionKeys, keyFreq, nodeKeys = keys,
       persisted = Seq(nodes, keysN, scored, components, mentionKeys))
   }
 
@@ -233,7 +234,8 @@ object LinkagePipeline {
         col("norm").as("mnorm"))
       .join(keysN.select(col("norm"), col("key")).distinct(), col("mnorm") === col("norm"))
       .select(col("id"), col("key"))
-    (Result(assignments, scored, mentionKeys, keyFreq), runner)
+    (Result(assignments, scored, mentionKeys, keyFreq,
+      nodeKeys = keysN.select(col("id"), col("key"))), runner)
   }
 
   /** Mention → concept link table: mentions clustered with a "c:" node. */

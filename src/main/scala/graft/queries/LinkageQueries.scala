@@ -232,9 +232,54 @@ object LinkageQueries {
       }, None),
 
     // full record-linkage pipeline: blocking → scoring → argmax link edges →
-    // large-star/small-star clustering; output mention→cluster assignments
+    // large-star/small-star clustering; output mention→cluster assignments.
+    // END-TO-END ORACLE (r4): the engine's scored pairs, unambiguous dict,
+    // node set and mention norms are exported, and DuckDB independently
+    // re-derives every assignment — window-SQL argmax + threshold for the
+    // link edges, then the graph-theoretic closed form of the clustering:
+    // after star contraction each component is a star around one "c:" node
+    // (each surface keeps ≤1 edge; "c:" < "s:" < "t:" makes the concept the
+    // lexicographic min = CC label), so expected components need no
+    // iterative CC. This puts a cross-engine check on the argmax-edge step,
+    // the large-star/small-star output, the term-assignment union and both
+    // fallback joins at once.
     QueryDef("linkage_clusters",
-      (s, dir) => sharedRun(s, dir).assignments, None),
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val r = sharedRun(s, dir)
+        if (exportEnabled) {
+          val n = corpusSize(dir)
+          val d = LinkagePipeline.unambiguousDict(dict(s, n))
+          val (docsDs, goldDs) = sharedCorpus(s, dir)
+          val mentions = LinkagePipeline.mentionsFromSpans(docsDs, goldDs)
+          exportTable(r.scored.select(col("a"), col("b"), col("score")), "cl_scored")
+          exportTable(d, "cl_dict")
+          exportTable(LinkagePipeline.surfaceNodesOf(mentions, d)
+            .select(col("id")), "cl_nodes")
+          exportTable(mentions.toDF().select(
+            concat(lit("m:"), col("doc_id"), lit(":"), col("start"), lit(":"),
+              col("end")).as("id"), col("norm")), "cl_mentions")
+        }
+        r.assignments
+      },
+      Some(s"""WITH st AS (SELECT a, b, score
+             |  FROM read_parquet('$ExportDir/cl_scored/*.parquet')
+             |  WHERE a LIKE 's:%' AND b LIKE 't:%'),
+             |am AS (SELECT a, b FROM (SELECT a, b, score,
+             |    row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rn
+             |  FROM st) WHERE rn = 1 AND score >= 0.5),
+             |tc AS (SELECT 't:' || mention AS t, 'c:' || concept_id AS c
+             |  FROM read_parquet('$ExportDir/cl_dict/*.parquet')),
+             |comp AS (SELECT am.a AS id, tc.c AS component FROM am JOIN tc ON am.b = tc.t
+             |  UNION ALL SELECT t AS id, c AS component FROM tc),
+             |surf AS (SELECT substr(id, 3) AS norm, component FROM comp WHERE id LIKE 's:%'),
+             |mm AS (SELECT mn.id, coalesce(su.component, 's:' || mn.norm) AS component
+             |  FROM read_parquet('$ExportDir/cl_mentions/*.parquet') mn
+             |  LEFT JOIN surf su ON mn.norm = su.norm),
+             |nn AS (SELECT n.id, coalesce(c.component, n.id) AS component
+             |  FROM read_parquet('$ExportDir/cl_nodes/*.parquet') n
+             |  LEFT JOIN comp c ON n.id = c.id)
+             |SELECT id, component FROM mm UNION ALL SELECT id, component FROM nn""".stripMargin)),
 
     // the north-rule gate computed distributed: pairwise P/R/F1 on labeled
     // mention pairs at the same blocking key. END-TO-END ORACLE (r4): the
@@ -263,10 +308,18 @@ object LinkageQueries {
              |FROM pr""".stripMargin)),
 
     // blocking skew report (per-key frequencies — the lineage/metrics view
-    // that proves hot keys are capped)
+    // that proves hot keys are capped). ORACLE (r4): the node-level block
+    // key table is exported and DuckDB re-aggregates the same top-200
+    // (freq desc, key asc — a total order, so the limit is deterministic).
     QueryDef("linkage_block_skew",
-      (s, dir) => sharedRun(s, dir).keyFreq
-        .orderBy(col("freq").desc, col("key").asc).limit(200), None),
+      (s, dir) => {
+        val r = sharedRun(s, dir)
+        exportTable(r.nodeKeys, "skew_keys")
+        r.keyFreq.orderBy(col("freq").desc, col("key").asc).limit(200)
+      },
+      Some(s"""WITH f AS (SELECT key, CAST(count(*) AS BIGINT) AS freq
+             |  FROM read_parquet('$ExportDir/skew_keys/*.parquet') GROUP BY key)
+             |SELECT key, freq FROM f ORDER BY freq DESC, key ASC LIMIT 200""".stripMargin)),
 
     // dictionary construction (1st-place training, SURVEY §3.2): harvested +
     // terminology + external-vocab + abbreviation entries, expanded, pruned
