@@ -52,8 +52,13 @@ object Multimodal {
     val hist = new Array[Long](16)
     var s = 0L
     bytes.foreach { b => val v = b & 0xff; s += v; hist(v >> 4) += 1 }
-    val mean = if (bytes.isEmpty) 0.0 else s.toDouble / bytes.length
-    (w, h, math.rint(mean * 100) / 100.0, hist)
+    // 2dp mean via INTEGER half-up rounding — exact and replayable in SQL
+    // ((200s + n) / 2n == floor(100·s/n + 0.5) for non-negative ints),
+    // unlike float rint whose half-even ties an oracle can't reproduce
+    val mean =
+      if (bytes.isEmpty) 0.0
+      else ((200L * s + bytes.length) / (2L * bytes.length)) / 100.0
+    (w, h, mean, hist)
   }
 
   /** Batched feature extraction: repartition by media_ref hash (spreads

@@ -161,9 +161,42 @@ object LinkageQueries {
     * driver's DuckDB pass reads, and export IO never pollutes timings). */
   val ExportDir = "/tmp/graft_export"
 
-  private def exportEnabled: Boolean = sys.props.contains("graft.export.oracle")
+  private[queries] def exportEnabled: Boolean = sys.props.contains("graft.export.oracle")
 
-  private def exportTable(df: DataFrame, name: String): Unit =
+  /** SQL recomputing the per-doc span checksum from an exported flattened
+    * span table — the full `spanChecksum` algebra in DuckDB: per field a
+    * seeded 31-poly hash (HUGEINT mod-2^64 list_reduce) with the
+    * xorshift64*-style finalizer, per doc the ordered FNV-style
+    * xor-multiply fold over [kind, text, media_ref, idx] of every span.
+    * Yields (doc_id, cks BIGINT). */
+  private def checksumSql(exportName: String): String =
+    s"""WITH sp AS (SELECT doc_id, idx, kind, text, media_ref
+       |  FROM read_parquet('$ExportDir/$exportName/*.parquet')),
+       |f AS (SELECT doc_id, idx, 1 AS fno, kind AS fval FROM sp
+       |  UNION ALL SELECT doc_id, idx, 2, text FROM sp
+       |  UNION ALL SELECT doc_id, idx, 3, media_ref FROM sp),
+       |fh AS (SELECT doc_id, idx, fno, xor(mm, mm >> 32) AS hv FROM (
+       |  SELECT doc_id, idx, fno, CAST((CAST(list_reduce(list_prepend(
+       |      CAST(1125899906842597 AS HUGEINT) * 31 + fno,
+       |      list_transform(list_filter(string_split(fval, ''), x -> x <> ''),
+       |        x -> CAST(unicode(x) AS HUGEINT))),
+       |      (a, c) -> (a * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS HUGEINT)
+       |      * CAST(2685821657736338717 AS HUGEINT))
+       |      % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS mm FROM f)),
+       |sl AS (SELECT doc_id, idx,
+       |    list_append(list(hv ORDER BY fno), CAST(idx AS UBIGINT)) AS f4
+       |  FROM fh GROUP BY doc_id, idx),
+       |fl AS (SELECT doc_id, flatten(list(f4 ORDER BY idx)) AS vs FROM sl GROUP BY doc_id),
+       |ck AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), vs),
+       |      (a, v) -> CAST((CAST(xor(a, v) AS HUGEINT) * 1099511628211)
+       |        % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS cu FROM fl)
+       |SELECT doc_id, CAST(CASE WHEN CAST(cu AS HUGEINT) >= CAST(9223372036854775808 AS HUGEINT)
+       |  THEN CAST(cu AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT)
+       |  ELSE CAST(cu AS HUGEINT) END AS BIGINT) AS cks
+       |FROM ck""".stripMargin
+
+  private[queries] def exportTable(df: DataFrame, name: String): Unit =
     if (exportEnabled)
       df.coalesce(1).write.mode("overwrite").parquet(s"$ExportDir/$name")
 
@@ -214,22 +247,37 @@ object LinkageQueries {
     // span-sequence invariant (input_hint): per-doc checksum of
     // (kind, text, media_ref, order) survives a real round-trip through the
     // engine's parquet doc sink/scan (the artifact every pipeline stage
-    // consumes) — not a tautological re-generation
+    // consumes) — not a tautological re-generation. ORACLE (r4): both the
+    // original and the round-tripped span tables are exported flattened,
+    // and DuckDB recomputes BOTH checksums from scratch (seeded 31-poly
+    // field hashes + FNV-style fold, all HUGEINT mod-2^64 / UBIGINT
+    // xor-fold arithmetic) — verifying the checksum algebra AND the
+    // round-trip equality independently of the engine.
     QueryDef("linkage_span_invariant",
       (s, dir) => {
         import s.implicits._
         val n = corpusSize(dir)
+        def flatSpans(ds: org.apache.spark.sql.Dataset[Doc]) =
+          ds.flatMap(d => d.spans.zipWithIndex.map { case (sp, i) =>
+            (d.doc_id, i, sp.kind, sp.text, sp.media_ref)
+          }).toDF("doc_id", "idx", "kind", "text", "media_ref")
         val before = sharedDocs(s, dir).map(d => (d.doc_id, spanChecksum(d)))
           .toDF("doc_id", "checksum_before")
         val rt = java.nio.file.Files
           .createTempDirectory("span_invariant").toString + "/docs"
         graft.sources.Readers.writeDocs(sharedDocs(s, dir), rt)
-        val after = graft.sources.Readers.readDocs(s, rt)
-          .map(d => (d.doc_id, spanChecksum(d)))
+        val rtDocs = graft.sources.Readers.readDocs(s, rt)
+        exportTable(flatSpans(sharedDocs(s, dir)), "si_before")
+        exportTable(flatSpans(rtDocs), "si_after")
+        val after = rtDocs.map(d => (d.doc_id, spanChecksum(d)))
           .toDF("doc_id", "checksum_after")
         before.join(after, "doc_id")
           .withColumn("ok", col("checksum_before") === col("checksum_after"))
-      }, None),
+      },
+      Some(s"""SELECT b.doc_id, b.cks AS checksum_before, a.cks AS checksum_after,
+             |  b.cks = a.cks AS ok
+             |FROM (${checksumSql("si_before")}) b
+             |JOIN (${checksumSql("si_after")}) a USING (doc_id)""".stripMargin)),
 
     // full record-linkage pipeline: blocking → scoring → argmax link edges →
     // large-star/small-star clustering; output mention→cluster assignments.
@@ -464,13 +512,45 @@ object LinkageQueries {
              |  CAST(length(t.term) AS INT) AS term_length
              |FROM tal t CROSS JOIN occ o""".stripMargin)),
 
-    // F13/F14 mention context windows + section-conditioned templates
+    // F13/F14 mention context windows + section-conditioned templates.
+    // ORACLE (r4): doc texts + the real inference annotations are exported
+    // and DuckDB replays the word-index window arithmetic (whitespace
+    // split, partial-word counting included) and the section template in
+    // SQL. Offset parity holds because UTF-16 units ≡ codepoints on this
+    // BMP-only corpus and Java \s ≡ RE2 \s on ASCII whitespace.
     QueryDef("linkage_context",
       (s, dir) => {
         implicit val sp: SparkSession = s
-        val n = corpusSize(dir)
-        graft.operators.Context.mentionContexts(sharedDocs(s, dir), annotate(s, dir))
-      }, None),
+        import sp.implicits._
+        val anns = annotate(s, dir)
+        if (exportEnabled) {
+          exportTable(sharedDocs(s, dir).map(d => (d.doc_id, d.text))
+            .toDF("doc_id", "text"), "ctx_docs")
+          exportTable(anns.toDF().select(col("doc_id"), col("start"),
+            col("end"), col("concept_id"), col("section")), "ctx_anns")
+        }
+        graft.operators.Context.mentionContexts(sharedDocs(s, dir), anns)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text FROM read_parquet('$ExportDir/ctx_docs/*.parquet')),
+             |an AS (SELECT * FROM read_parquet('$ExportDir/ctx_anns/*.parquet')),
+             |j AS (SELECT an.doc_id, an."start", an."end", an.concept_id, an.section, d.text
+             |  FROM an JOIN d USING (doc_id)),
+             |w AS (SELECT doc_id, "start", "end", concept_id, section,
+             |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+             |  len(list_filter(string_split_regex(array_slice(text, 1, "start"), '\\s+'), x -> x <> '')) AS wb,
+             |  len(list_filter(string_split_regex(array_slice(text, "end" + 1, length(text)), '\\s+'), x -> x <> '')) AS wa,
+             |  array_slice(text, "start" + 1, "end") AS term
+             |  FROM j),
+             |c AS (SELECT doc_id, "start", "end", concept_id, section, term,
+             |  array_to_string(array_slice(words, greatest(0, wb - 5) + 1,
+             |    least(len(words), len(words) - wa - 1 + 5 + 1)), ' ') AS context
+             |  FROM w)
+             |SELECT doc_id, "start", "end", concept_id, section, term, context,
+             |  CASE WHEN section = 'allergies' THEN 'Allergy to ' || term || ' finding'
+             |       WHEN section = 'chief complaint' THEN 'Disorder of ' || term
+             |       WHEN section = 'major surgical or invasive procedure' THEN term || ' procedure'
+             |       ELSE term END AS templated
+             |FROM c""".stripMargin)),
 
     // A6 per-name section stats with the 'default' rollup and the
     // default-map argmax, FLAT oracle-sortable shape (the round-2 MapType
@@ -630,12 +710,25 @@ object LinkageQueries {
       .toDF("precision", "recall", "f1", "n_pairs")
   }
 
+  /** Seeded field hash of the span checksum: 31-polynomial with the seed
+    * folded in as a leading pseudo-char, finalized by the same
+    * xorshift64*-style multiply-fold as `TextFns.simGramHash` — chosen (r4,
+    * replacing murmur) because every step is exactly replayable in SQL,
+    * which is what lets the span-invariant query carry a DuckDB oracle. */
+  def fieldHash(s: String, seed: Int): Long = {
+    var h = 1125899906842597L * 31 + seed
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    val m = h * 2685821657736338717L
+    m ^ (m >>> 32)
+  }
+
   def spanChecksum(d: Doc): Long =
     d.spans.zipWithIndex.foldLeft(0xcbf29ce484222325L) { case (h, (sp, i)) =>
       var x = h
-      x = (x ^ graft.functions.TextFns.hash64(sp.kind, 1)) * 0x100000001b3L
-      x = (x ^ graft.functions.TextFns.hash64(sp.text, 2)) * 0x100000001b3L
-      x = (x ^ graft.functions.TextFns.hash64(sp.media_ref, 3)) * 0x100000001b3L
+      x = (x ^ fieldHash(sp.kind, 1)) * 0x100000001b3L
+      x = (x ^ fieldHash(sp.text, 2)) * 0x100000001b3L
+      x = (x ^ fieldHash(sp.media_ref, 3)) * 0x100000001b3L
       (x ^ i.toLong) * 0x100000001b3L
     }
 }

@@ -284,15 +284,36 @@ object PipelineQueries {
              |FROM ch JOIN sims USING (doc_id)""".stripMargin)),
 
     // Multimodal: media table from interleaved docs → batched stub decode.
+    // ORACLE (r4): the media table (opaque binary payloads included) is
+    // exported and DuckDB re-derives every feature from the BYTES — per-byte
+    // values via hex() + nibble lookup, width/height from the first two
+    // bytes, mean via the same exact integer half-up rounding. The decode
+    // stays an honestly-documented stub; what this verifies is the
+    // engine's media extraction, batching plumbing and feature arithmetic.
     QueryDef("multimodal_features",
       (s, dir) => {
         implicit val sp = s
         val n = LinkageQueries.corpusSize(dir)
         val media = Multimodal.mediaTable(LinkageQueries.docs(s, n))
+        LinkageQueries.exportTable(media.toDF(), "mm_media")
         Multimodal.extractFeatures(media).toDF()
           .select(col("doc_id"), col("media_ref"), col("position"),
             col("n_bytes"), col("width"), col("height"), col("mean_intensity"))
-      }, None),
+      },
+      Some(s"""WITH m AS (SELECT doc_id, media_ref, position, hex(bytes) AS hx,
+             |    octet_length(bytes) AS n
+             |  FROM read_parquet('${LinkageQueries.ExportDir}/mm_media/*.parquet')),
+             |b AS (SELECT doc_id, media_ref, position, n, hx, unnest(range(0, n)) AS i FROM m),
+             |v AS (SELECT doc_id, media_ref, position, n, i,
+             |    (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+             |    (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS bv
+             |  FROM b)
+             |SELECT doc_id, media_ref, CAST(position AS INT) AS position,
+             |  CAST(max(n) AS INT) AS n_bytes,
+             |  CAST(16 + (max(CASE WHEN i = 0 THEN bv END) & 63) AS INT) AS width,
+             |  CAST(16 + (max(CASE WHEN i = 1 THEN bv END) & 63) AS INT) AS height,
+             |  ((200 * sum(bv) + max(n)) // (2 * max(n))) / 100.0 AS mean_intensity
+             |FROM v GROUP BY doc_id, media_ref, position""".stripMargin)),
 
     // Structured Streaming: hourly windowed counts, DuckDB-verifiable.
     QueryDef("streaming_hourly",
