@@ -431,6 +431,14 @@ object LinkageQueries {
     // gazetteer annotations re-examined in a prev/next-bounded ±20-char
     // window; mentions of a general concept preceded by an attribute word
     // are rewritten to the specific child (span extended over the word)
+    // W3/F18 attribute postprocess. ORACLE (r4): docs, the gazetteer base
+    // annotations and the attribute table are exported, and DuckDB replays
+    // the ENTIRE rewrite in SQL — lag/lead prev/next bounds, the ±20-char
+    // window, the same regex (RE2 ≡ Java here: ASCII corpus, \b/\S
+    // ASCII-semantics, \Q..\E quoting), partial-word splitting, case-variant
+    // side-word sets, first-candidate-wins in specific_id order, and the
+    // trailing-whitespace-delta span extension. Validated against a literal
+    // transcription on adversarial fixtures before wiring.
     QueryDef("linkage_postprocess",
       (s, dir) => {
         implicit val sp: SparkSession = s
@@ -446,8 +454,63 @@ object LinkageQueries {
         val att = graft.operators.TermExtension.termExtensions(
           s.createDataset(Synth.relationships(k)),
           s.createDataset(Synth.descriptions(k)))
+        if (exportEnabled) {
+          exportTable(ds.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), "pp_docs")
+          exportTable(base.toDF(), "pp_base")
+          exportTable(att.select(col("general_id"), col("specific_id"),
+            col("additional_word")), "pp_att")
+        }
         graft.operators.AttributeRewrite.apply(ds, base, att).toDF()
-      }, None),
+      },
+      Some(s"""WITH an AS (SELECT a."start" AS s, a."end" AS e, a.*, d.text,
+             |    lag(a."end") OVER (PARTITION BY a.doc_id ORDER BY a."start") AS prev_end,
+             |    lead(a."start") OVER (PARTITION BY a.doc_id ORDER BY a."start") AS next_start
+             |  FROM read_parquet('$ExportDir/pp_base/*.parquet') a
+             |  JOIN read_parquet('$ExportDir/pp_docs/*.parquet') d USING (doc_id)),
+             |w AS (SELECT *,
+             |    array_slice(text, least(s, length(text)) + 1, least(e, length(text))) AS atxt,
+             |    greatest(0, least(CASE WHEN prev_end IS NULL THEN greatest(0, s - 20)
+             |                           ELSE greatest(prev_end + 1, s - 20) END, length(text))) AS lo
+             |  FROM an),
+             |w2 AS (SELECT *,
+             |    greatest(lo, least(CASE WHEN next_start IS NULL THEN least(e + 20, length(text) - 1)
+             |                            ELSE least(next_start - 1, e + 20) END, length(text))) AS hi
+             |  FROM w),
+             |m AS (SELECT *, regexp_extract(array_slice(text, lo + 1, hi),
+             |    '(?:\\b\\S+\\s*){0,2}\\Q' || atxt || '\\E\\b(?:\\s*\\S+\\s*?){0,2}', 0) AS matched
+             |  FROM w2),
+             |tb AS (SELECT *, CASE WHEN matched = '' OR atxt = '' THEN NULL
+             |    ELSE array_slice(matched, 1, greatest(strpos(matched, atxt) - 1, 0)) END AS txt_before
+             |  FROM m),
+             |wb AS (SELECT *, CASE WHEN txt_before IS NULL THEN NULL
+             |    ELSE list_filter(string_split_regex(txt_before, '\\s+'), x -> x <> '') END AS words_before
+             |  FROM tb),
+             |cand AS (SELECT wb.*, att.specific_id AS sid, att.additional_word AS word,
+             |    [word, upper(array_slice(word, 1, 1)) || array_slice(word, 2, length(word)), upper(word)]
+             |      || CASE WHEN word IN ('left', 'right')
+             |              THEN [upper(array_slice(word, 1, 1)), word || '-sided'] ELSE [] END AS sides
+             |  FROM wb JOIN read_parquet('$ExportDir/pp_att/*.parquet') att
+             |    ON wb.concept_id = att.general_id
+             |  WHERE words_before IS NOT NULL),
+             |hits AS (SELECT *,
+             |    list_filter(range(1, len(words_before) + 1),
+             |      k -> list_contains(sides, words_before[CAST(k AS INT)])) AS ind
+             |  FROM cand),
+             |firsthit AS (SELECT *, row_number() OVER (PARTITION BY doc_id, s, e ORDER BY sid) AS rn
+             |  FROM hits WHERE len(ind) > 0),
+             |rewritten AS (SELECT doc_id, s AS s0, e AS e0,
+             |    CASE WHEN ind[1] = len(words_before)
+             |         THEN s - length(words_before[len(words_before)])
+             |                - (length(txt_before) - length(regexp_replace(txt_before, '\\s+$$', '')))
+             |         ELSE s END AS ns,
+             |    sid AS nc
+             |  FROM firsthit WHERE rn = 1)
+             |SELECT a.doc_id, CAST(coalesce(r.ns, a."start") AS INT) AS "start",
+             |  a."end", coalesce(r.nc, a.concept_id) AS concept_id,
+             |  a.section, a.dict_entry
+             |FROM read_parquet('$ExportDir/pp_base/*.parquet') a
+             |LEFT JOIN rewritten r
+             |  ON a.doc_id = r.doc_id AND a."start" = r.s0 AND a."end" = r.e0""".stripMargin)),
 
     // A11 remove/add-lists classification (3rd Place/remove-add-lists.py):
     // two span sets classified same/included/intersect/no per term, with
