@@ -494,9 +494,18 @@ object DictTrain {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val nDocsDf = docsP.toDF().agg(count(lit(1)).as("n_docs"))
-    val permBlacklist = wordCounts.crossJoin(nDocsDf)
+    val blacklistDs = wordCounts.crossJoin(nDocsDf)
       .filter(col("freq") > lit(13L) * col("n_docs"))
-      .select(col("word")).as[String].collect().toSet
+      .select(col("word")).as[String]
+      .persist(MEMORY_AND_DISK)
+    // count → require → collect: words averaging >13 occurrences per doc
+    // are a tiny stop-word-class set by construction, but the driver
+    // collect still gets a loud cap instead of a silent OOM
+    val nBlacklist = blacklistDs.count()
+    require(nBlacklist <= 10000000L,
+      s"permutation blacklist has $nBlacklist words > 10M driver-collect cap")
+    val permBlacklist = blacklistDs.collect().toSet
+    blacklistDs.unpersist()
     // persist: the permutation expansion (largest intermediate) has TWO
     // consumers below (the union and the abbreviation join) and would
     // otherwise be computed twice

@@ -93,7 +93,12 @@ object SpanCompare {
   def termOccurrences(docs: Dataset[Doc], terms: DataFrame)
                      (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val termList = terms.select(col("term")).distinct().as[String].collect()
+    val termsDs = terms.select(col("term")).distinct().as[String]
+    // count → require → collect (broadcast-scale term set by design)
+    val nTerms = termsDs.count()
+    require(nTerms <= 20000000L,
+      s"termOccurrences broadcasts the term set: $nTerms terms > 20M cap")
+    val termList = termsDs.collect()
     val maxTokens = if (termList.isEmpty) 1
       else termList.iterator.map(_.count(_ == ' ') + 1).max
     val hashes = spark.sparkContext.broadcast {
