@@ -200,10 +200,186 @@ object LinkageQueries {
     if (exportEnabled)
       df.coalesce(1).write.mode("overwrite").parquet(s"$ExportDir/$name")
 
+  /** DuckDB header-gazetteer literal (Synth.headers normalized). */
+  private val headerSqlList: String =
+    Synth.headers.map(h => "'" + graft.functions.TextFns.normalize(h) + "'").mkString(", ")
+
+  /** Full SQL replay of the flagship inference path — matchDocDual + the
+    * greedy overlap resolve — over exported docs + dictionaries:
+    * line/segment offset arithmetic (window prefix sums), sectioning with
+    * the gazetteer/other mapping and ASOF as-of lookup, header-line veto,
+    * token n-grams ≤ 6 with last-token destem, per-section dict joins, and
+    * the resolve as two recursive CTEs (the sweep — including its
+    * scan-does-not-skip-removed-j semantics — and the growing-survivor
+    * rescue pass). Validated against literal transcriptions on adversarial
+    * fixtures (header/veto/plural/uppercase/overlap cases) before wiring.
+    * MATERIALIZED hints keep the recursion from re-inlining the match
+    * pipeline per level. */
+  private def annotateOracleSql: String =
+    annotateReplaySql("ga_docs", "ga_lc", "ga_uc")
+
+  /** Parameterized by export-table names so the same replay verifies both
+    * the fixed-dictionary path (linkage_annotate) and the TRAINED-dict
+    * inference (dict_train_iou). */
+  private def annotateReplaySql(docsT: String, lcT: String, ucT: String): String =
+    s"""WITH RECURSIVE
+       |lines AS (
+       |  SELECT doc_id, line, li,
+       |    CAST(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY li
+       |      ROWS UNBOUNDED PRECEDING) - length(line) - 1 AS INT) AS ls
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+       |          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS li
+       |        FROM read_parquet('$ExportDir/$docsT/*.parquet'))),
+       |hl AS (
+       |  SELECT doc_id, ls, ls + length(line) AS le
+       |  FROM (SELECT doc_id, ls, line,
+       |          regexp_replace(line, '[ \\t\\r\\x0B\\f]+$$', '') AS rt FROM lines)
+       |  WHERE length(rt) > 0 AND substr(rt, length(rt), 1) = ':'),
+       |sec AS (
+       |  SELECT doc_id, ls,
+       |    CASE WHEN name IN ($headerSqlList) THEN name ELSE 'other' END AS header
+       |  FROM (SELECT doc_id, ls,
+       |          trim(regexp_replace(lower(substr(t, 1, length(t) - 1)), '[^a-z0-9]+', ' ', 'g')) AS name
+       |        FROM (SELECT doc_id, ls,
+       |                trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS t
+       |              FROM lines)
+       |        WHERE length(t) > 0 AND substr(t, length(t), 1) = ':')
+       |  WHERE name <> ''),
+       |segs AS (
+       |  SELECT doc_id, seg, si,
+       |    CAST(sum(length(seg)) OVER (PARTITION BY doc_id ORDER BY si
+       |      ROWS UNBOUNDED PRECEDING) - length(seg) AS INT) AS soff
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]+')) AS seg,
+       |          unnest(range(1, len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]+')) + 1)) AS si
+       |        FROM read_parquet('$ExportDir/$docsT/*.parquet'))),
+       |toks AS (
+       |  SELECT doc_id, seg AS tok, soff AS ts, soff + length(seg) AS te,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si) AS INT) AS ti
+       |  FROM segs WHERE regexp_matches(seg, '^[a-zA-Z0-9]')),
+       |tokarr AS (
+       |  SELECT doc_id, list(tok ORDER BY ti) AS raws, list(lower(tok) ORDER BY ti) AS lcs
+       |  FROM toks GROUP BY doc_id),
+       |cand0 AS (
+       |  SELECT t1.doc_id, t1.ti AS i, t2.ti AS j, t1.ts AS cstart, t2.te AS cend,
+       |    t2.tok AS lastTok
+       |  FROM toks t1 JOIN toks t2
+       |    ON t1.doc_id = t2.doc_id AND t2.ti BETWEEN t1.ti AND t1.ti + 5
+       |  WHERE t1.ts >= 100
+       |    AND NOT EXISTS (SELECT 1 FROM hl
+       |      WHERE hl.doc_id = t1.doc_id AND hl.ls <= t1.ts AND t1.ts < hl.le)),
+       |cand AS (
+       |  SELECT c.*, coalesce(s.header, 'preamble') AS dsec
+       |  FROM cand0 c ASOF LEFT JOIN sec s
+       |    ON c.doc_id = s.doc_id AND c.cstart >= s.ls),
+       |candv AS (
+       |  SELECT * FROM cand
+       |  WHERE NOT (dsec LIKE '%medication%' OR dsec LIKE '%service%'
+       |    OR dsec LIKE '%date of birth%')),
+       |keys AS (
+       |  SELECT c.doc_id, c.cstart, c.cend, c.dsec,
+       |    array_to_string(array_slice(a.lcs, c.i, c.j), ' ') AS key_lc,
+       |    array_to_string(array_slice(a.raws, c.i, c.j), ' ') AS key_uc,
+       |    (length(c.lastTok) > 3 AND lower(substr(c.lastTok, length(c.lastTok), 1)) = 's') AS destem
+       |  FROM candv c JOIN tokarr a USING (doc_id)),
+       |lcd AS (SELECT * FROM read_parquet('$ExportDir/$lcT/*.parquet')),
+       |ucd AS (SELECT * FROM read_parquet('$ExportDir/$ucT/*.parquet')),
+       |raw AS (
+       |  SELECT k.doc_id, k.cstart AS s, k.cend AS e, dd.concept_id, dd.section, dd.mention
+       |  FROM keys k JOIN lcd dd ON dd.mention = k.key_lc
+       |  WHERE dd.section = 'any' OR dd.section = k.dsec
+       |  UNION ALL
+       |  SELECT k.doc_id, k.cstart, k.cend, dd.concept_id, dd.section, dd.mention
+       |  FROM keys k JOIN lcd dd
+       |    ON k.destem AND dd.mention = array_slice(k.key_lc, 1, length(k.key_lc) - 1)
+       |  WHERE dd.section = 'any' OR dd.section = k.dsec
+       |  UNION ALL
+       |  SELECT k.doc_id, k.cstart, k.cend, dd.concept_id, dd.section, dd.mention
+       |  FROM keys k JOIN ucd dd ON dd.mention = k.key_uc
+       |  WHERE dd.section = 'any' OR dd.section = k.dsec
+       |  UNION ALL
+       |  SELECT k.doc_id, k.cstart, k.cend, dd.concept_id, dd.section, dd.mention
+       |  FROM keys k JOIN ucd dd
+       |    ON k.destem AND dd.mention = array_slice(k.key_uc, 1, length(k.key_uc) - 1)
+       |  WHERE dd.section = 'any' OR dd.section = k.dsec),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, s, e, concept_id, section, mention,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY s, e, section, concept_id, mention) AS INT) AS k,
+       |    (e - s) - CASE WHEN section = 'any' OR section LIKE '(%' THEN 0.1 ELSE 0.0 END AS eff
+       |  FROM raw),
+       |arr AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n, list(s ORDER BY k) AS ss,
+       |    list(e ORDER BY k) AS es, list(eff ORDER BY k) AS fs
+       |  FROM spans GROUP BY doc_id),
+       |sweep(doc_id, i, j, removed) AS (
+       |  SELECT doc_id, 1, 2, CAST([] AS INT[]) FROM arr WHERE n > 1
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |    CASE WHEN list_contains(s.removed, s.i) THEN s.i + 1
+       |         WHEN s.j <= a.n AND a.ss[s.j] < a.es[s.i]
+       |           THEN CASE WHEN a.fs[s.i] < a.fs[s.j] THEN s.i + 1 ELSE s.i END
+       |         ELSE s.i + 1 END,
+       |    CASE WHEN list_contains(s.removed, s.i) THEN s.i + 2
+       |         WHEN s.j <= a.n AND a.ss[s.j] < a.es[s.i]
+       |           THEN CASE WHEN a.fs[s.i] < a.fs[s.j] THEN s.i + 2 ELSE s.j + 1 END
+       |         ELSE s.i + 2 END,
+       |    CASE WHEN list_contains(s.removed, s.i) THEN s.removed
+       |         WHEN s.j <= a.n AND a.ss[s.j] < a.es[s.i]
+       |           THEN CASE WHEN a.fs[s.i] < a.fs[s.j]
+       |                     THEN list_append(s.removed, s.i)
+       |                     WHEN list_contains(s.removed, s.j) THEN s.removed
+       |                     ELSE list_append(s.removed, s.j) END
+       |         ELSE s.removed END
+       |  FROM sweep s JOIN arr a USING (doc_id)
+       |  WHERE s.i <= a.n),
+       |final_removed AS MATERIALIZED (
+       |  SELECT s.doc_id, list_sort(s.removed) AS rl,
+       |    list_filter(range(1, a.n + 1), v -> NOT list_contains(s.removed, v)) AS survivors
+       |  FROM sweep s JOIN arr a USING (doc_id) WHERE s.i = a.n + 1),
+       |rescue(doc_id, k, rescued) AS (
+       |  SELECT doc_id, 1, CAST([] AS INT[]) FROM final_removed WHERE len(rl) > 0
+       |  UNION ALL
+       |  SELECT r.doc_id, r.k + 1,
+       |    CASE WHEN len(list_filter(f.survivors || r.rescued, v ->
+       |        (a.ss[CAST(v AS INT)] <= a.ss[f.rl[r.k]] AND a.es[CAST(v AS INT)] > a.ss[f.rl[r.k]]) OR
+       |        (a.ss[CAST(v AS INT)] <= a.es[f.rl[r.k]] AND a.es[CAST(v AS INT)] > a.es[f.rl[r.k]]))) > 0
+       |      THEN r.rescued ELSE list_append(r.rescued, f.rl[r.k]) END
+       |  FROM rescue r JOIN final_removed f USING (doc_id) JOIN arr a USING (doc_id)
+       |  WHERE r.k <= len(f.rl)),
+       |final_rescued AS (
+       |  SELECT r.doc_id, r.rescued FROM rescue r JOIN final_removed f USING (doc_id)
+       |  WHERE r.k = len(f.rl) + 1),
+       |kept AS (
+       |  SELECT f.doc_id, unnest(f.survivors || coalesce(fr.rescued, [])) AS k
+       |  FROM final_removed f LEFT JOIN final_rescued fr USING (doc_id)
+       |  UNION ALL
+       |  SELECT a.doc_id, 1 FROM arr a WHERE a.n = 1)
+       |SELECT sp.doc_id, sp.s AS "start", sp.e AS "end", sp.concept_id, sp.section,
+       |  sp.mention AS dict_entry
+       |FROM kept JOIN spans sp ON kept.doc_id = sp.doc_id AND kept.k = sp.k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    // final annotation table (reference submission shape + section/dict_entry)
+    // final annotation table (reference submission shape + section/dict_entry).
+    // ORACLE (r4): the FLAGSHIP inference path — fused dual-dict gazetteer +
+    // greedy overlap resolve — replayed completely in SQL over the exported
+    // docs and dictionaries (see annotateOracleSql).
     QueryDef("linkage_annotate",
-      (s, dir) => annotate(s, dir).toDF(), None),
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        if (exportEnabled) {
+          val n = corpusSize(dir)
+          val k = numConcepts(n)
+          exportTable(sharedDocs(s, dir).map(d => (d.doc_id, d.text))
+            .toDF("doc_id", "text"), "ga_docs")
+          exportTable(s.createDataset(Synth.dictionary(k, includeAbbrs = false))
+            .toDF(), "ga_lc")
+          exportTable(s.createDataset(Synth.ucDictionary(k)).toDF(), "ga_uc")
+        }
+        annotate(s, dir).toDF()
+      },
+      Some(annotateOracleSql)),
 
     // official-metric query: macro char IoU of the gazetteer path vs gold.
     // END-TO-END ORACLE (r4): the pred table (real two-pass inference
@@ -379,19 +555,49 @@ object LinkageQueries {
       }, None),
 
     // end-to-end retrain-then-infer: macro char IoU using the TRAINED
-    // (lc, uc) dictionary pair through the two-pass inference
+    // (lc, uc) dictionary pair through the two-pass inference. ORACLE (r4):
+    // the TRAINED dictionaries (engine artifacts), docs and gold are
+    // exported, and DuckDB independently replays the ENTIRE inference
+    // (gazetteer match + greedy resolve, same recursive-CTE replay as
+    // linkage_annotate) and re-scores the char-painting macro IoU — so the
+    // trained-dict inference result is hard-verified even though the
+    // iterative training itself has no SQL form (dict_train stays the one
+    // rows-only query).
     QueryDef("dict_train_iou",
       (s, dir) => {
         implicit val sp: SparkSession = s
         import s.implicits._
         val n = corpusSize(dir)
         val (lc, uc) = sharedTrainedDicts(s, dir)
+        if (exportEnabled) {
+          exportTable(sharedDocs(s, dir).map(d => (d.doc_id, d.text))
+            .toDF("doc_id", "text"), "ti_docs")
+          exportTable(lc.toDF().toDF("section", "mention", "concept_id"), "ti_lc")
+          exportTable(uc.toDF().toDF("section", "mention", "concept_id"), "ti_uc")
+          exportTable(sharedGold(s, dir).toDF()
+            .select(col("doc_id"), col("start"), col("end"), col("concept_id")), "ti_gold")
+        }
         val pred = graft.operators.DictTrain.infer(sharedDocs(s, dir), lc, uc).toDF()
         val (_, macroAvg) = Metrics.macroCharIou(
           pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),
           sharedGold(s, dir).toDF())
-        Seq(("macro_char_iou_trained_dict", macroAvg)).toDF("metric", "value")
-      }, None),
+        Seq(("macro_char_iou_trained_dict", math.rint(macroAvg * 10000) / 10000))
+          .toDF("metric", "value")
+      },
+      Some(s"""WITH p0 AS ((${annotateReplaySql("ti_docs", "ti_lc", "ti_uc")})),
+             |p AS (SELECT doc_id AS doc, concept_id AS cid, "start" AS s, "end" AS e FROM p0),
+             |g AS (SELECT doc_id AS doc, concept_id AS cid, "start" AS s, "end" AS e
+             |  FROM read_parquet('$ExportDir/ti_gold/*.parquet')),
+             |pp AS (SELECT DISTINCT doc, cid, pos FROM
+             |  (SELECT doc, cid, unnest(range(s, e)) AS pos FROM p)),
+             |gg AS (SELECT DISTINCT doc, cid, pos FROM
+             |  (SELECT doc, cid, unnest(range(s, e)) AS pos FROM g)),
+             |inter AS (SELECT cid, count(*) AS n FROM pp JOIN gg USING (doc, cid, pos) GROUP BY cid),
+             |un AS (SELECT cid, count(*) AS n FROM
+             |  (SELECT doc, cid, pos FROM pp UNION SELECT doc, cid, pos FROM gg) GROUP BY cid)
+             |SELECT 'macro_char_iou_trained_dict' AS metric,
+             |  round(avg(CAST(coalesce(inter.n, 0) AS DOUBLE) / un.n), 4) AS value
+             |FROM un LEFT JOIN inter ON un.cid = inter.cid""".stripMargin)),
 
     // J4/U3 term-extension attribute table (process_data.py:360-417): the
     // 3-way Is-A ⋈ FSN join + word-set difference. Runs on the FIXED
