@@ -158,7 +158,11 @@ object LinkageQueries {
     * must be static because oracle SQL is static. Exports happen only when
     * `graft.export.oracle` is set (Verify sets it; Bench does not — so a
     * later bench run at a different sf can never overwrite the exports the
-    * driver's DuckDB pass reads, and export IO never pollutes timings). */
+    * driver's DuckDB pass reads, and export IO never pollutes timings).
+    * Queries export their own inputs even when another query exports the
+    * same table (e.g. the shared doc text) — each query must stay
+    * self-contained under any execution order, and the duplicated
+    * Verify-only IO is a few MB at sf0.01. */
   val ExportDir = "/tmp/graft_export"
 
   private[queries] def exportEnabled: Boolean = sys.props.contains("graft.export.oracle")
