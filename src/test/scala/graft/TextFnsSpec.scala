@@ -49,6 +49,17 @@ class TextFnsSpec extends AnyFunSuite {
     assert(a.length == 16)
   }
 
+  test("poly/finalizer hash constants are pinned (SQL oracle contract)") {
+    // These exact values are embedded in the DuckDB oracle replays
+    // (dedup_simhash / doc_fingerprint / linkage_span_invariant): a change
+    // to the hash family must fail HERE, not as silent oracle drift.
+    assert(fingerprint64("abc") == -3351804022671199651L)
+    assert(simGramHash("acute femur fracture") == 6906039992583371728L)
+    assert(simGramHash("tok") == -3688995587750053775L)
+    assert(graft.queries.LinkageQueries.fieldHash("text", 2) == 1266702614553372243L)
+    assert(graft.queries.LinkageQueries.fieldHash("", 1) == 7032746270253168692L)
+  }
+
   test("simhash hamming small for near-dup, large for unrelated") {
     val a = simHash64("the patient reports acute femur fracture since admission")
     val b = simHash64("the patient reports acute femur fractrue since admission")
