@@ -363,6 +363,215 @@ object LinkageQueries {
        |  sp.mention AS dict_entry
        |FROM kept JOIN spans sp ON kept.doc_id = sp.doc_id AND kept.k = sp.k""".stripMargin
 
+  /** SQL re-derivation of the ENTIRE trained dictionary from the exported
+    * scored-key artifact + raw inputs — see the dict_train QueryDef. */
+  private def trainOracleSql: String =
+    s"""
+       |WITH RECURSIVE
+       |lines AS (
+       |  SELECT doc_id, line, li,
+       |    CAST(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY li
+       |      ROWS UNBOUNDED PRECEDING) - length(line) - 1 AS INT) AS ls
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+       |          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS li
+       |        FROM read_parquet('$ExportDir/tr_docs/*.parquet'))),
+       |sec AS (
+       |  SELECT doc_id, ls, CASE WHEN name IN ($headerSqlList) THEN name ELSE 'other' END AS header
+       |  FROM (SELECT doc_id, ls,
+       |          trim(regexp_replace(lower(substr(t, 1, length(t) - 1)), '[^a-z0-9]+', ' ', 'g')) AS name
+       |        FROM (SELECT doc_id, ls,
+       |                trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS t FROM lines)
+       |        WHERE length(t) > 0 AND substr(t, length(t), 1) = ':')
+       |  WHERE name <> ''),
+       |mention0 AS (
+       |  SELECT g.doc_id, g."start" AS s, g."end" AS e, g.concept_id,
+       |    array_slice(d.text, g."start" + 1, least(g."end", length(d.text))) AS surface
+       |  FROM read_parquet('$ExportDir/tr_gold/*.parquet') g
+       |  JOIN read_parquet('$ExportDir/tr_docs/*.parquet') d USING (doc_id)),
+       |mentions AS (
+       |  SELECT m.doc_id, m.s, m.e, m.concept_id, m.surface,
+       |    trim(regexp_replace(lower(m.surface), '[^a-z0-9]+', ' ', 'g')) AS norm,
+       |    coalesce(sc2.header, 'preamble') AS msec
+       |  FROM mention0 m ASOF LEFT JOIN sec sc2
+       |    ON m.doc_id = sc2.doc_id AND m.s >= sc2.ls),
+       |-- harvest: unique strict-majority concept per (section, norm)
+       |grain AS (SELECT msec AS section, norm, concept_id, count(*) AS cnt
+       |  FROM mentions GROUP BY 1, 2, 3),
+       |harvested AS (
+       |  SELECT section, norm AS mention, concept_id FROM (
+       |    SELECT section, norm, concept_id, cnt,
+       |      row_number() OVER (PARTITION BY section, norm ORDER BY cnt DESC, concept_id ASC) AS rn,
+       |      sum(cnt) OVER (PARTITION BY section, norm) AS total
+       |    FROM grain) WHERE rn = 1 AND 2 * cnt > total),
+       |ucn AS (SELECT norm FROM (
+       |    SELECT norm, avg(CASE WHEN surface = upper(surface) THEN 1.0 ELSE 0.0 END) AS r
+       |    FROM mentions GROUP BY norm) WHERE r > 0.99),
+       |lc_harv AS (SELECT h.* FROM harvested h LEFT JOIN ucn ON h.mention = ucn.norm
+       |  WHERE ucn.norm IS NULL),
+       |uc_harv AS (SELECT DISTINCT h.section, upper(h.mention) AS mention, h.concept_id
+       |  FROM harvested h JOIN ucn ON h.mention = ucn.norm),
+       |-- scoring rollups from the EXPORTED scored table
+       |bynote AS (
+       |  SELECT section, mention, CAST(sum(has1) AS BIGINT) AS n_correct,
+       |    CAST(sum(hasm1) AS BIGINT) AS n_incorrect
+       |  FROM (SELECT doc_id, section, mention,
+       |          max(CASE WHEN score = 1 THEN 1 ELSE 0 END) AS has1,
+       |          max(CASE WHEN score = -1 THEN 1 ELSE 0 END) AS hasm1
+       |        FROM read_parquet('$ExportDir/tr_scored/*.parquet') GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |naive AS (
+       |  SELECT h.* FROM lc_harv h LEFT JOIN bynote b USING (section, mention)
+       |  WHERE b.n_correct IS NULL OR NOT (b.n_correct <
+       |    (CASE WHEN b.n_correct = 1 THEN 1.0
+       |          WHEN h.section = 'any' THEN 0.3 ELSE 0.2 END) * b.n_incorrect)),
+       |bymention AS (
+       |  SELECT section, mention,
+       |    CAST(sum(CASE WHEN score = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |    CAST(sum(CASE WHEN score = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_incorrect
+       |  FROM read_parquet('$ExportDir/tr_scored/*.parquet') GROUP BY 1, 2),
+       |goldc AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS n_gold FROM read_parquet('$ExportDir/tr_gold/*.parquet') GROUP BY 1),
+       |greedy_in AS (
+       |  SELECT n.concept_id, n.section, n.mention, m.n_correct AS c, m.n_incorrect AS i, gc.n_gold
+       |  FROM naive n JOIN bymention m USING (section, mention)
+       |  JOIN goldc gc USING (concept_id)),
+       |garr AS MATERIALIZED (
+       |  SELECT concept_id, CAST(count(*) AS INT) AS nk, max(n_gold) AS n_gold,
+       |    list(section ORDER BY -(c / (i + 0.01)), section, mention) AS secs,
+       |    list(mention ORDER BY -(c / (i + 0.01)), section, mention) AS ms,
+       |    list(c ORDER BY -(c / (i + 0.01)), section, mention) AS cs,
+       |    list(i ORDER BY -(c / (i + 0.01)), section, mention) AS xs
+       |  FROM greedy_in GROUP BY concept_id),
+       |greedy(concept_id, k, corr, inc, bad) AS (
+       |  SELECT concept_id, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST([] AS INT[]) FROM garr
+       |  UNION ALL
+       |  SELECT q.concept_id, q.k + 1,
+       |    CASE WHEN q.keep THEN q.corr + q.ck ELSE q.corr END,
+       |    CASE WHEN q.keep THEN q.inc + q.ik ELSE q.inc END,
+       |    CASE WHEN q.keep THEN q.bad ELSE list_append(q.bad, q.k) END
+       |  FROM (SELECT r.concept_id, r.k, r.corr, r.inc, r.bad,
+       |      a.cs[r.k] AS ck, a.xs[r.k] AS ik,
+       |      (CAST(r.corr AS DOUBLE) / (r.inc + a.n_gold) < a.cs[r.k] / (a.xs[r.k] + 0.01)
+       |       OR NOT (a.cs[r.k] <
+       |         (CASE WHEN a.cs[r.k] = 1 THEN 1.0
+       |               WHEN a.secs[r.k] = 'any' THEN (CASE WHEN r.k > 3 THEN 0.6 ELSE 0.3 END)
+       |               ELSE (CASE WHEN r.k > 3 THEN 0.4 ELSE 0.2 END) END) * a.xs[r.k])) AS keep
+       |    FROM greedy r JOIN garr a USING (concept_id) WHERE r.k <= a.nk) q),
+       |badkeys AS (
+       |  SELECT a.concept_id, a.secs[bi] AS section, a.ms[bi] AS mention
+       |  FROM (SELECT gr.concept_id, unnest(gr.bad) AS bi
+       |        FROM greedy gr JOIN garr a2 USING (concept_id) WHERE gr.k = a2.nk + 1) u
+       |  JOIN garr a USING (concept_id)),
+       |core AS (
+       |  SELECT n.* FROM naive n LEFT JOIN (SELECT DISTINCT section, mention FROM badkeys) b
+       |    USING (section, mention)
+       |  WHERE b.section IS NULL),
+       |-- terminology
+       |term AS (
+       |  SELECT DISTINCT 'any' AS section, m AS mention, concept_id FROM (
+       |    SELECT concept_id,
+       |      trim(regexp_replace(lower(tc), '[^a-z0-9]+', ' ', 'g')) AS m
+       |    FROM (SELECT des.concept_id,
+       |        CASE WHEN des.typ = 'FSN'
+       |             THEN regexp_replace(des.term, '\\s*\\([^)]*\\)$$', '') ELSE des.term END AS tc
+       |      FROM read_parquet('$ExportDir/tr_desc/*.parquet') des
+       |      JOIN read_parquet('$ExportDir/tr_concepts/*.parquet') con_t USING (concept_id)
+       |      WHERE des.active = 1 AND con_t.active = 1
+       |        AND length(des.term) >= 3
+       |        AND NOT contains(des.term, 'machine translation')
+       |        AND NOT (contains(des.term, ']') AND strpos(des.term, '[') > 6))
+       |    WHERE regexp_matches(substr(tc, 1, 1), '[a-zA-Z0-9]'))
+       |  WHERE length(m) >= 3 AND len(string_split(m, ' ')) BETWEEN 1 AND 5),
+       |ext AS (
+       |  SELECT DISTINCT 'any' AS section,
+       |    trim(regexp_replace(lower(e.name), '[^a-z0-9]+', ' ', 'g')) AS mention,
+       |    m.ext_id_2 AS concept_id
+       |  FROM read_parquet('$ExportDir/tr_extc/*.parquet') e
+       |  JOIN read_parquet('$ExportDir/tr_extm/*.parquet') m ON e.ext_id = m.ext_id_1 AND m.relationship = 'Maps to'
+       |  WHERE e.vocabulary <> 'FAKEVOCAB1'),
+       |-- blacklist
+       |bl AS (
+       |  SELECT word FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+       |    FROM read_parquet('$ExportDir/tr_docs/*.parquet')),
+       |    (SELECT count(*) AS nd FROM read_parquet('$ExportDir/tr_docs/*.parquet')) n
+       |  WHERE word <> '' GROUP BY word, n.nd HAVING count(*) > 13 * nd),
+       |-- expansion
+       |base AS (SELECT DISTINCT section, mention, concept_id FROM
+       |  (SELECT * FROM core UNION ALL SELECT * FROM term UNION ALL SELECT * FROM ext)),
+       |blarr AS (SELECT coalesce(list(word), CAST([] AS VARCHAR[])) AS bwords FROM bl),
+       |base2 AS (SELECT b.*, string_split(mention, ' ') AS w, len(string_split(mention, ' ')) AS n,
+       |    (len(string_split(mention, ' ')) = 3 AND string_split(mention, ' ')[2] <> 'of'
+       |     AND len(list_filter(string_split(mention, ' '), x -> list_contains(bl2.bwords, x))) = 0) AS allperm
+       |  FROM base b CROSS JOIN blarr bl2),
+       |variants AS (
+       |  SELECT section, mention AS v, concept_id FROM base2
+       |  UNION ALL
+       |  SELECT section, w[3] || ' ' || w[1], concept_id FROM base2 WHERE n = 3 AND w[2] = 'of'
+       |  UNION ALL
+       |  SELECT section, w[3] || ' ' || w[4] || ' ' || w[1], concept_id FROM base2 WHERE n = 4 AND w[2] = 'of'
+       |  UNION ALL
+       |  SELECT section, w[4] || ' ' || w[1] || ' ' || w[2], concept_id FROM base2
+       |    WHERE n = 4 AND w[2] <> 'of' AND w[3] = 'of'
+       |  UNION ALL
+       |  SELECT section, w[1] || ' ' || w[4] || ' ' || w[2], concept_id FROM base2
+       |    WHERE n = 4 AND w[2] <> 'of' AND w[3] = 'of'
+       |  UNION ALL
+       |  SELECT section, p[1] || ' ' || p[2] || ' ' || p[3], concept_id
+       |  FROM base2, (VALUES ([1,2,3]),([1,3,2]),([2,1,3]),([2,3,1]),([3,1,2]),([3,2,1])) t(ord),
+       |    LATERAL (SELECT [w[ord[1]], w[ord[2]], w[ord[3]]] AS p)
+       |  WHERE allperm
+       |  UNION ALL
+       |  SELECT section, replace(mention, ' and ', ' with '), concept_id FROM base2 WHERE contains(mention, ' and ')
+       |  UNION ALL
+       |  SELECT section, replace(mention, ' with ', ' and '), concept_id FROM base2 WHERE contains(mention, ' with ')
+       |  UNION ALL
+       |  SELECT section, replace(mention, ' valve ', ' '), concept_id FROM base2 WHERE contains(mention, ' valve ')
+       |  UNION ALL
+       |  SELECT section, replace(mention, ' of ', ' of the '), concept_id FROM base2 WHERE contains(mention, ' of ')),
+       |expanded AS (SELECT DISTINCT section, v AS mention, concept_id FROM variants),
+       |abbre AS (
+       |  SELECT DISTINCT e.section,
+       |    trim(regexp_replace(lower(ab.abbr), '[^a-z0-9]+', ' ', 'g')) AS mention, e.concept_id
+       |  FROM read_parquet('$ExportDir/tr_abbr/*.parquet') ab JOIN expanded e
+       |    ON trim(regexp_replace(lower(ab.meaning), '[^a-z0-9]+', ' ', 'g')) = e.mention
+       |  WHERE length(trim(regexp_replace(lower(ab.abbr), '[^a-z0-9]+', ' ', 'g'))) >= 3),
+       |withabbr AS (SELECT DISTINCT * FROM
+       |  (SELECT * FROM expanded UNION ALL SELECT * FROM abbre)),
+       |extadd AS (
+       |  SELECT w.* FROM withabbr w
+       |  LEFT JOIN (SELECT DISTINCT section, mention FROM core) c USING (section, mention)
+       |  WHERE c.section IS NULL),
+       |fulld AS (SELECT DISTINCT * FROM (SELECT * FROM core UNION ALL SELECT * FROM extadd)),
+       |lcdict AS (SELECT f.* FROM fulld f LEFT JOIN ucn ON f.mention = ucn.norm WHERE ucn.norm IS NULL),
+       |ucext AS (SELECT DISTINCT f.section, upper(f.mention) AS mention, f.concept_id
+       |  FROM fulld f JOIN ucn ON f.mention = ucn.norm),
+       |ucdict AS (SELECT DISTINCT * FROM (SELECT * FROM uc_harv UNION ALL SELECT * FROM ucext)),
+       |-- limit any
+       |cid2type AS (
+       |  SELECT concept_id, min(ctype) AS ctype FROM (
+       |    SELECT concept_id, regexp_extract(term, '\\(([^)]*)\\)\\s*$$', 1) AS ctype
+       |    FROM read_parquet('$ExportDir/tr_desc/*.parquet') WHERE active = 1 AND typ = 'FSN') WHERE ctype <> '' GROUP BY concept_id),
+       |allowed AS (
+       |  SELECT DISTINCT t.ctype, m.msec AS section
+       |  FROM mentions m JOIN cid2type t USING (concept_id)),
+       |anyrows AS (
+       |  SELECT l.section, l.mention, l.concept_id, t.ctype
+       |  FROM lcdict l LEFT JOIN cid2type t USING (concept_id)
+       |  WHERE l.section = 'any'),
+       |limited AS (
+       |  SELECT a2.section, ar.mention, ar.concept_id
+       |  FROM anyrows ar JOIN allowed a2 ON ar.ctype = a2.ctype),
+       |keptany AS (
+       |  SELECT 'any' AS section, ar.mention, ar.concept_id
+       |  FROM anyrows ar LEFT JOIN (SELECT DISTINCT ctype FROM allowed) al ON ar.ctype = al.ctype
+       |  WHERE al.ctype IS NULL),
+       |lcfinal AS (SELECT DISTINCT * FROM (
+       |  SELECT section, mention, concept_id FROM lcdict WHERE section <> 'any'
+       |  UNION ALL SELECT * FROM limited
+       |  UNION ALL SELECT * FROM keptany))
+       |SELECT section, mention, concept_id FROM lcfinal
+       |UNION ALL
+       |SELECT section, mention, concept_id FROM ucdict""".stripMargin.trim
+
   val defs: Seq[QueryDef] = Seq(
     // final annotation table (reference submission shape + section/dict_entry).
     // ORACLE (r4): the FLAGSHIP inference path — fused dual-dict gazetteer +
@@ -550,13 +759,51 @@ object LinkageQueries {
              |SELECT key, freq FROM f ORDER BY freq DESC, key ASC LIMIT 200""".stripMargin)),
 
     // dictionary construction (1st-place training, SURVEY §3.2): harvested +
-    // terminology + external-vocab + abbreviation entries, expanded, pruned
+    // terminology + external-vocab + abbreviation entries, expanded, pruned.
+    // ORACLE (r4): the one training stage with genuinely procedural state —
+    // the gazetteer + two-pointer ±1 scoring — is exported as the engine's
+    // scored-key artifact (the same export-an-artifact pattern as
+    // linkage_clusters' scored pairs; the scoring itself stays pinned by
+    // the DictTrainGreedySpec transcription differentials), and DuckDB
+    // re-derives the ENTIRE final dictionary from it plus the raw inputs:
+    // mention harvest with strict-majority argmax, the uppercase split,
+    // naive by-note pruning, the per-concept GREEDY key-selection loop as a
+    // recursive CTE (ratio ordering, doubled thresholds past the 3rd key),
+    // terminology/external/abbreviation entries, permutation & replacement
+    // expansion with the corpus word blacklist, cond-update anti-join, and
+    // allowed-section limiting. Validated against a literal transcription
+    // on adversarial fixtures before wiring.
     QueryDef("dict_train",
       (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
         val (lc, uc) = sharedTrainedDicts(s, dir)
+        if (exportEnabled) {
+          val n = corpusSize(dir)
+          val k = numConcepts(n)
+          val (d, g) = sharedCorpus(s, dir)
+          val mentions = LinkagePipeline.mentionsFromSpans(d, g).toDF()
+          val harvested = graft.operators.DictTrain.dictFromMentions(mentions, g)
+          val ucNorms = graft.operators.DictTrain.uppercaseMentionsOf(mentions)
+            .select(col("norm"))
+          val lcHarvested = harvested.toDF()
+            .join(ucNorms, col("mention") === col("norm"), "left_anti")
+            .as[DictEntry]
+          val scored = graft.operators.DictTrain.scoredPredictions(d, g, lcHarvested)
+          exportTable(d.map(x => (x.doc_id, x.text)).toDF("doc_id", "text"), "tr_docs")
+          exportTable(g.toDF().select(col("doc_id"), col("start"), col("end"),
+            col("concept_id")), "tr_gold")
+          exportTable(scored, "tr_scored")
+          exportTable(s.createDataset(Synth.concepts(k)).toDF(), "tr_concepts")
+          exportTable(s.createDataset(Synth.descriptions(k)).toDF(), "tr_desc")
+          exportTable(s.createDataset(Synth.extConcepts(k)).toDF(), "tr_extc")
+          exportTable(s.createDataset(Synth.extMappings(k)).toDF(), "tr_extm")
+          exportTable(s.createDataset(Synth.abbreviations(k)).toDF(), "tr_abbr")
+        }
         lc.toDF().toDF("section", "mention", "concept_id")
           .union(uc.toDF().toDF("section", "mention", "concept_id"))
-      }, None),
+      },
+      Some(trainOracleSql)),
 
     // end-to-end retrain-then-infer: macro char IoU using the TRAINED
     // (lc, uc) dictionary pair through the two-pass inference. ORACLE (r4):
