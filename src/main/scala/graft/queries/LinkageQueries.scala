@@ -388,7 +388,7 @@ object LinkageQueries {
        |    array_slice(d.text, g."start" + 1, least(g."end", length(d.text))) AS surface
        |  FROM read_parquet('$ExportDir/tr_gold/*.parquet') g
        |  JOIN read_parquet('$ExportDir/tr_docs/*.parquet') d USING (doc_id)),
-       |mentions AS (
+       |mentions AS MATERIALIZED (
        |  SELECT m.doc_id, m.s, m.e, m.concept_id, m.surface,
        |    trim(regexp_replace(lower(m.surface), '[^a-z0-9]+', ' ', 'g')) AS norm,
        |    coalesce(sc2.header, 'preamble') AS msec
@@ -460,7 +460,7 @@ object LinkageQueries {
        |  FROM (SELECT gr.concept_id, unnest(gr.bad) AS bi
        |        FROM greedy gr JOIN garr a2 USING (concept_id) WHERE gr.k = a2.nk + 1) u
        |  JOIN garr a USING (concept_id)),
-       |core AS (
+       |core AS MATERIALIZED (
        |  SELECT n.* FROM naive n LEFT JOIN (SELECT DISTINCT section, mention FROM badkeys) b
        |    USING (section, mention)
        |  WHERE b.section IS NULL),
@@ -488,17 +488,17 @@ object LinkageQueries {
        |  JOIN read_parquet('$ExportDir/tr_extm/*.parquet') m ON e.ext_id = m.ext_id_1 AND m.relationship = 'Maps to'
        |  WHERE e.vocabulary <> 'FAKEVOCAB1'),
        |-- blacklist
-       |bl AS (
+       |bl AS MATERIALIZED (
        |  SELECT word FROM (
        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
        |    FROM read_parquet('$ExportDir/tr_docs/*.parquet')),
        |    (SELECT count(*) AS nd FROM read_parquet('$ExportDir/tr_docs/*.parquet')) n
        |  WHERE word <> '' GROUP BY word, n.nd HAVING count(*) > 13 * nd),
        |-- expansion
-       |base AS (SELECT DISTINCT section, mention, concept_id FROM
+       |base AS MATERIALIZED (SELECT DISTINCT section, mention, concept_id FROM
        |  (SELECT * FROM core UNION ALL SELECT * FROM term UNION ALL SELECT * FROM ext)),
-       |blarr AS (SELECT coalesce(list(word), CAST([] AS VARCHAR[])) AS bwords FROM bl),
-       |base2 AS (SELECT b.*, string_split(mention, ' ') AS w, len(string_split(mention, ' ')) AS n,
+       |blarr AS MATERIALIZED (SELECT coalesce(list(word), CAST([] AS VARCHAR[])) AS bwords FROM bl),
+       |base2 AS MATERIALIZED (SELECT b.*, string_split(mention, ' ') AS w, len(string_split(mention, ' ')) AS n,
        |    (len(string_split(mention, ' ')) = 3 AND string_split(mention, ' ')[2] <> 'of'
        |     AND len(list_filter(string_split(mention, ' '), x -> list_contains(bl2.bwords, x))) = 0) AS allperm
        |  FROM base b CROSS JOIN blarr bl2),
@@ -527,7 +527,7 @@ object LinkageQueries {
        |  SELECT section, replace(mention, ' valve ', ' '), concept_id FROM base2 WHERE contains(mention, ' valve ')
        |  UNION ALL
        |  SELECT section, replace(mention, ' of ', ' of the '), concept_id FROM base2 WHERE contains(mention, ' of ')),
-       |expanded AS (SELECT DISTINCT section, v AS mention, concept_id FROM variants),
+       |expanded AS MATERIALIZED (SELECT DISTINCT section, v AS mention, concept_id FROM variants),
        |abbre AS (
        |  SELECT DISTINCT e.section,
        |    trim(regexp_replace(lower(ab.abbr), '[^a-z0-9]+', ' ', 'g')) AS mention, e.concept_id
