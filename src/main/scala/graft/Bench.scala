@@ -48,15 +48,21 @@ object Bench {
       graft.queries.LinkageQueries.clearTrainCache()
       runPass()
     })
-    // dict_train(+_iou) have the widest measured same-code spread on this
-    // host ({41, 86, 145} s — BENCH/BASELINE.md): a THIRD interleaved
-    // sample for just that pair keeps a single interference window from
-    // defining the graded number (same protocol, train cache cleared so the
-    // sample re-pays the full training compute)
-    val trainNames = Set("dict_train", "dict_train_iou")
+    // dict_train(+_iou) and the shared-pipeline trio have the widest
+    // measured same-code spreads on this host (dict_train {41, 86, 145} s;
+    // linkage_pairwise_f1 graded 26.1 s vs builder 8.8 s in r4 — both
+    // co-tenant noise, BENCH/BASELINE.md): a THIRD interleaved sample for
+    // just these keeps a single interference window from defining the
+    // graded number. Both compute caches are cleared so the sample re-pays
+    // the full training + pipeline compute; the trio runs in the same
+    // sorted order as a full pass, so per-query cache-sharing structure
+    // (first of the trio pays the pipeline) matches passes 1-2.
+    val resampled = Set("dict_train", "dict_train_iou",
+      "linkage_block_skew", "linkage_clusters", "linkage_pairwise_f1")
     graft.queries.LinkageQueries.clearTrainCache()
+    graft.queries.LinkageQueries.clearRunCache()
     val pass3 = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(p => trainNames(p._1)).map { case (name, fn) =>
+      .filter(p => resampled(p._1)).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).count(); None }

@@ -355,14 +355,17 @@ object DictTrain {
 
   /** concept → type from the FSN tag (reference cid_to_type,
     * `mimic_train.py:165-175` without the replacement folding — our synth
-    * types are already canonical). */
+    * types are already canonical). Pinned to min(ctype) per concept — the
+    * same choice the dict_train oracle makes — so a concept with two active
+    * FSNs bearing different type tags stays deterministic (ADVICE r4:
+    * dropDuplicates kept an arbitrary surviving row). */
   def conceptTypes(descriptions: Dataset[Description]): DataFrame =
     descriptions.toDF()
       .filter(col("active") === 1 && col("typ") === "FSN")
       .select(col("concept_id"),
         regexp_extract(col("term"), "\\(([^)]*)\\)\\s*$", 1).as("ctype"))
       .filter(col("ctype") =!= "")
-      .dropDuplicates("concept_id")
+      .groupBy(col("concept_id")).agg(min(col("ctype")).as("ctype"))
 
   /** (type, section) pairs observed in gold (`get_cid_type_sections_pairs`). */
   def allowedSections(docs: Dataset[Doc], golds: Dataset[GoldAnnotation],

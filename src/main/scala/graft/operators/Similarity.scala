@@ -116,16 +116,29 @@ object Similarity {
     * (id, id) pairs only — the 64-float vectors are attached to the
     * DEDUPLICATED pairs by two id-keyed joins, so each vector crosses the
     * wire O(pairs) not O(pairs × shared buckets). */
+  /** Per-vector hyperplane signature table (vec_id, cls, sig) — the narrow
+    * first stage of `lshTopK`, exposed so the ann_lsh oracle can export the
+    * engine's signatures and re-derive buckets → candidates → exact top-k
+    * independently in SQL (everything downstream of the signature is then
+    * cross-engine-verified; the signature function itself is pinned by
+    * SimilaritySpec determinism + recall gates). */
+  def hyperplaneSigs(emb: DataFrame, nPlanes: Int = 16,
+                     classCol: Option[String] = None)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, 64))
+    val cls = classCol.map(col).getOrElse(lit(0))
+    emb.select(col("vec_id"), col("embedding"), cls.cast("long").as("cls"))
+      .as[(Long, Seq[Float], Long)]
+      .map { case (id, v, c) => (id, c, hyperplaneSig(v.toArray, planes.value)) }
+      .toDF("vec_id", "cls", "sig")
+  }
+
   def lshTopK(emb: DataFrame, k: Int = 5, nPlanes: Int = 16, chunkBits: Int = 4,
               classCol: Option[String] = None)
              (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val planes = spark.sparkContext.broadcast(hyperplanes(nPlanes, 64))
-    val cls = classCol.map(col).getOrElse(lit(0))
-    val base = emb.select(col("vec_id"), col("embedding"), cls.cast("long").as("cls"))
-    val sigs = base.as[(Long, Seq[Float], Long)]
-      .map { case (id, v, c) => (id, c, hyperplaneSig(v.toArray, planes.value)) }
-      .toDF("vec_id", "cls", "sig")
+    val sigs = hyperplaneSigs(emb, nPlanes, classCol)
     val nChunks = nPlanes / chunkBits
     // bucket rows carry ids only — never the vectors
     val chunked = sigs.select(col("vec_id"),

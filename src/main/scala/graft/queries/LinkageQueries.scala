@@ -200,9 +200,40 @@ object LinkageQueries {
        |  ELSE CAST(cu AS HUGEINT) END AS BIGINT) AS cks
        |FROM ck""".stripMargin
 
+  /** Run token claimed by this JVM's FIRST export: the static export dir is
+    * world-writable, so a CONCURRENT Verify (another JVM, possibly another
+    * sf dir) clobbering it mid-run would silently mix exports from two runs
+    * and mislead the DuckDB compare (ADVICE r4). The first export of a JVM
+    * clears stale exports and writes a unique token; every later export
+    * re-reads it and fails loudly on mismatch. Sequential re-runs (the
+    * normal builder/driver flow) simply re-claim the dir. */
+  private val runToken = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private[queries] def exportTable(df: DataFrame, name: String): Unit =
-    if (exportEnabled)
+    if (exportEnabled) {
+      val tokenPath = java.nio.file.Paths.get(ExportDir, "_run_token")
+      runToken.synchronized {
+        if (runToken.get() == null) {
+          val dir = new java.io.File(ExportDir)
+          def rm(f: java.io.File): Unit = {
+            val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+          }
+          rm(dir); dir.mkdirs()
+          val tok = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+            ":" + System.nanoTime()
+          java.nio.file.Files.writeString(tokenPath, tok)
+          runToken.set(tok)
+        } else {
+          val cur = try java.nio.file.Files.readString(tokenPath)
+            catch { case _: Exception => "<missing>" }
+          require(cur == runToken.get(),
+            s"$ExportDir was clobbered by a concurrent Verify run (token " +
+              s"'$cur' != this run's '${runToken.get()}') — oracle exports " +
+              "are inconsistent; re-run Verify alone")
+        }
+      }
       df.coalesce(1).write.mode("overwrite").parquet(s"$ExportDir/$name")
+    }
 
   /** DuckDB header-gazetteer literal (Synth.headers normalized). */
   private val headerSqlList: String =
@@ -222,12 +253,16 @@ object LinkageQueries {
   private def annotateOracleSql: String =
     annotateReplaySql("ga_docs", "ga_lc", "ga_uc")
 
-  /** Parameterized by export-table names so the same replay verifies both
-    * the fixed-dictionary path (linkage_annotate) and the TRAINED-dict
-    * inference (dict_train_iou). */
-  private def annotateReplaySql(docsT: String, lcT: String, ucT: String): String =
-    s"""WITH RECURSIVE
-       |lines AS (
+  /** The gazetteer CANDIDATE machinery as a reusable CTE fragment over an
+    * exported (doc_id, text) table: line/segment offset arithmetic,
+    * sectioning, header-line + veto-section guards, token n-grams ≤ 6 with
+    * the last-token destem — everything `matchDoc` does before the dict
+    * probe. Shared by the inference replays (annotateReplaySql) and the
+    * dict_train scored-table replay. `keys` is MATERIALIZED: every raw
+    * match branch references it and an inlined copy re-runs the whole
+    * candidate pipeline per branch. */
+  private def matchCandidatesSql(docsT: String): String =
+    s"""lines AS (
        |  SELECT doc_id, line, li,
        |    CAST(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY li
        |      ROWS UNBOUNDED PRECEDING) - length(line) - 1 AS INT) AS ls
@@ -280,12 +315,19 @@ object LinkageQueries {
        |  SELECT * FROM cand
        |  WHERE NOT (dsec LIKE '%medication%' OR dsec LIKE '%service%'
        |    OR dsec LIKE '%date of birth%')),
-       |keys AS (
+       |keys AS MATERIALIZED (
        |  SELECT c.doc_id, c.cstart, c.cend, c.dsec,
        |    array_to_string(array_slice(a.lcs, c.i, c.j), ' ') AS key_lc,
        |    array_to_string(array_slice(a.raws, c.i, c.j), ' ') AS key_uc,
        |    (length(c.lastTok) > 3 AND lower(substr(c.lastTok, length(c.lastTok), 1)) = 's') AS destem
-       |  FROM candv c JOIN tokarr a USING (doc_id)),
+       |  FROM candv c JOIN tokarr a USING (doc_id))""".stripMargin
+
+  /** Parameterized by export-table names so the same replay verifies both
+    * the fixed-dictionary path (linkage_annotate) and the TRAINED-dict
+    * inference (dict_train_iou). */
+  private def annotateReplaySql(docsT: String, lcT: String, ucT: String): String =
+    s"""WITH RECURSIVE
+       |${matchCandidatesSql(docsT)},
        |lcd AS (SELECT * FROM read_parquet('$ExportDir/$lcT/*.parquet')),
        |ucd AS (SELECT * FROM read_parquet('$ExportDir/$ucT/*.parquet')),
        |raw AS (
@@ -368,21 +410,7 @@ object LinkageQueries {
   private def trainOracleSql: String =
     s"""
        |WITH RECURSIVE
-       |lines AS (
-       |  SELECT doc_id, line, li,
-       |    CAST(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY li
-       |      ROWS UNBOUNDED PRECEDING) - length(line) - 1 AS INT) AS ls
-       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
-       |          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS li
-       |        FROM read_parquet('$ExportDir/tr_docs/*.parquet'))),
-       |sec AS (
-       |  SELECT doc_id, ls, CASE WHEN name IN ($headerSqlList) THEN name ELSE 'other' END AS header
-       |  FROM (SELECT doc_id, ls,
-       |          trim(regexp_replace(lower(substr(t, 1, length(t) - 1)), '[^a-z0-9]+', ' ', 'g')) AS name
-       |        FROM (SELECT doc_id, ls,
-       |                trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS t FROM lines)
-       |        WHERE length(t) > 0 AND substr(t, length(t), 1) = ':')
-       |  WHERE name <> ''),
+       |${matchCandidatesSql("tr_docs")},
        |mention0 AS (
        |  SELECT g.doc_id, g."start" AS s, g."end" AS e, g.concept_id,
        |    array_slice(d.text, g."start" + 1, least(g."end", length(d.text))) AS surface
@@ -406,18 +434,77 @@ object LinkageQueries {
        |ucn AS (SELECT norm FROM (
        |    SELECT norm, avg(CASE WHEN surface = upper(surface) THEN 1.0 ELSE 0.0 END) AS r
        |    FROM mentions GROUP BY norm) WHERE r > 0.99),
-       |lc_harv AS (SELECT h.* FROM harvested h LEFT JOIN ucn ON h.mention = ucn.norm
+       |lc_harv AS MATERIALIZED (SELECT h.* FROM harvested h LEFT JOIN ucn ON h.mention = ucn.norm
        |  WHERE ucn.norm IS NULL),
        |uc_harv AS (SELECT DISTINCT h.section, upper(h.mention) AS mention, h.concept_id
        |  FROM harvested h JOIN ucn ON h.mention = ucn.norm),
-       |-- scoring rollups from the EXPORTED scored table
+       |-- gazetteer predictions of the harvested lc dict, re-derived from RAW
+       |-- inputs (r5, closing the last training seam): the same candidate
+       |-- machinery as the inference replay probes the SQL-derived lc_harv —
+       |-- KEEP_OVERLAPS semantics, so scoring sees the unresolved span set
+       |tr_pred AS (
+       |  SELECT k.doc_id, k.cstart AS s, k.cend AS e, dd.concept_id, dd.section, dd.mention
+       |  FROM keys k JOIN lc_harv dd ON dd.mention = k.key_lc
+       |  WHERE dd.section = 'any' OR dd.section = k.dsec
+       |  UNION ALL
+       |  SELECT k.doc_id, k.cstart, k.cend, dd.concept_id, dd.section, dd.mention
+       |  FROM keys k JOIN lc_harv dd
+       |    ON k.destem AND dd.mention = array_slice(k.key_lc, 1, length(k.key_lc) - 1)
+       |  WHERE dd.section = 'any' OR dd.section = k.dsec),
+       |-- two-pointer ±1 scoring (compare_ref_pred, mimic_train.py:89-134):
+       |-- the pointer advances monotonically with prediction start, so iRef
+       |-- is a pure AS-OF function of start — no recursion needed.
+       |-- iRef = min(max(#{refs: start <= pred.start} - 1, 0), max(nRef-2, 0));
+       |-- overlap-score 0 probes ref iRef+1 only while iRef+1 < nRef-1 (the
+       |-- reference's advance guard); a remaining 0 becomes -1.
+       |refs AS MATERIALIZED (
+       |  SELECT doc_id, "start" AS rs, "end" AS re, concept_id AS rcid,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY "start", "end", concept_id) AS INT) - 1 AS ri,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS nref
+       |  FROM read_parquet('$ExportDir/tr_gold/*.parquet')),
+       |pasof AS (
+       |  SELECT p.*, r.ri AS lri
+       |  FROM tr_pred p ASOF LEFT JOIN refs r ON p.doc_id = r.doc_id AND p.s >= r.rs),
+       |pidx AS (
+       |  SELECT pa.*, rn.nref,
+       |    CASE WHEN rn.nref IS NULL THEN NULL
+       |         ELSE least(greatest(coalesce(pa.lri, -1), 0), greatest(rn.nref - 2, 0)) END AS iref
+       |  FROM pasof pa LEFT JOIN (SELECT doc_id, max(nref) AS nref FROM refs GROUP BY doc_id) rn
+       |    USING (doc_id)),
+       |ps0 AS (
+       |  SELECT p.*,
+       |    CASE WHEN r0.rs > p.s THEN -1
+       |         WHEN r0.re < p.s THEN 0
+       |         WHEN r0.rcid = p.concept_id
+       |           AND ((r0.rs = p.s AND r0.re = p.e) OR contains(p.mention, ' ')) THEN 1
+       |         ELSE -1 END AS sc0
+       |  FROM pidx p LEFT JOIN refs r0 ON p.doc_id = r0.doc_id AND p.iref = r0.ri),
+       |ps1 AS (
+       |  SELECT p.*,
+       |    CASE WHEN r1.ri IS NULL THEN NULL
+       |         WHEN r1.rs > p.s THEN -1
+       |         WHEN r1.re < p.s THEN 0
+       |         WHEN r1.rcid = p.concept_id
+       |           AND ((r1.rs = p.s AND r1.re = p.e) OR contains(p.mention, ' ')) THEN 1
+       |         ELSE -1 END AS sc1
+       |  FROM ps0 p LEFT JOIN refs r1
+       |    ON p.doc_id = r1.doc_id AND p.iref + 1 = r1.ri AND p.iref + 1 < p.nref - 1),
+       |tr_scored AS MATERIALIZED (
+       |  SELECT doc_id, section, mention,
+       |    CASE WHEN nref IS NULL THEN -1
+       |         WHEN sc0 = 0 AND sc1 IS NOT NULL THEN (CASE WHEN sc1 = 0 THEN -1 ELSE sc1 END)
+       |         WHEN sc0 = 0 THEN -1
+       |         ELSE sc0 END AS score
+       |  FROM ps1),
+       |-- scoring rollups from the RE-DERIVED scored table (inputs-only)
        |bynote AS (
        |  SELECT section, mention, CAST(sum(has1) AS BIGINT) AS n_correct,
        |    CAST(sum(hasm1) AS BIGINT) AS n_incorrect
        |  FROM (SELECT doc_id, section, mention,
        |          max(CASE WHEN score = 1 THEN 1 ELSE 0 END) AS has1,
        |          max(CASE WHEN score = -1 THEN 1 ELSE 0 END) AS hasm1
-       |        FROM read_parquet('$ExportDir/tr_scored/*.parquet') GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |        FROM tr_scored GROUP BY 1, 2, 3) GROUP BY 1, 2),
        |naive AS (
        |  SELECT h.* FROM lc_harv h LEFT JOIN bynote b USING (section, mention)
        |  WHERE b.n_correct IS NULL OR NOT (b.n_correct <
@@ -427,7 +514,7 @@ object LinkageQueries {
        |  SELECT section, mention,
        |    CAST(sum(CASE WHEN score = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |    CAST(sum(CASE WHEN score = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_incorrect
-       |  FROM read_parquet('$ExportDir/tr_scored/*.parquet') GROUP BY 1, 2),
+       |  FROM tr_scored GROUP BY 1, 2),
        |goldc AS (SELECT concept_id, CAST(count(*) AS BIGINT) AS n_gold FROM read_parquet('$ExportDir/tr_gold/*.parquet') GROUP BY 1),
        |greedy_in AS (
        |  SELECT n.concept_id, n.section, n.mention, m.n_correct AS c, m.n_incorrect AS i, gc.n_gold
@@ -760,19 +847,21 @@ object LinkageQueries {
 
     // dictionary construction (1st-place training, SURVEY §3.2): harvested +
     // terminology + external-vocab + abbreviation entries, expanded, pruned.
-    // ORACLE (r4): the one training stage with genuinely procedural state —
-    // the gazetteer + two-pointer ±1 scoring — is exported as the engine's
-    // scored-key artifact (the same export-an-artifact pattern as
-    // linkage_clusters' scored pairs; the scoring itself stays pinned by
-    // the DictTrainGreedySpec transcription differentials), and DuckDB
-    // re-derives the ENTIRE final dictionary from it plus the raw inputs:
-    // mention harvest with strict-majority argmax, the uppercase split,
-    // naive by-note pruning, the per-concept GREEDY key-selection loop as a
-    // recursive CTE (ratio ordering, doubled thresholds past the 3rd key),
-    // terminology/external/abbreviation entries, permutation & replacement
-    // expansion with the corpus word blacklist, cond-update anti-join, and
-    // allowed-section limiting. Validated against a literal transcription
-    // on adversarial fixtures before wiring.
+    // INPUTS-ONLY ORACLE (r5, closing VERDICT r4 Next #1): DuckDB re-derives
+    // the ENTIRE final dictionary from raw inputs alone — no engine artifact
+    // is read. The scored-key table (the last r4 export seam) is itself
+    // replayed in SQL: the harvested-dict gazetteer predictions come from
+    // the same candidate machinery as the inference replay probing the
+    // SQL-derived lc_harv, and the two-pointer ±1 scoring
+    // (`mimic_train.py:89-134`) reduces to an AS-OF pointer (it advances
+    // monotonically with prediction start — no recursion needed). Downstream
+    // stay as r4: mention harvest with strict-majority argmax, the uppercase
+    // split, naive by-note pruning, the per-concept GREEDY key-selection
+    // loop as a recursive CTE (ratio ordering, doubled thresholds past the
+    // 3rd key), terminology/external/abbreviation entries, permutation &
+    // replacement expansion with the corpus word blacklist, cond-update
+    // anti-join, and allowed-section limiting. The Scala scoring transcription
+    // stays pinned by DictTrainGreedySpec differentials.
     QueryDef("dict_train",
       (s, dir) => {
         implicit val sp: SparkSession = s
@@ -782,18 +871,9 @@ object LinkageQueries {
           val n = corpusSize(dir)
           val k = numConcepts(n)
           val (d, g) = sharedCorpus(s, dir)
-          val mentions = LinkagePipeline.mentionsFromSpans(d, g).toDF()
-          val harvested = graft.operators.DictTrain.dictFromMentions(mentions, g)
-          val ucNorms = graft.operators.DictTrain.uppercaseMentionsOf(mentions)
-            .select(col("norm"))
-          val lcHarvested = harvested.toDF()
-            .join(ucNorms, col("mention") === col("norm"), "left_anti")
-            .as[DictEntry]
-          val scored = graft.operators.DictTrain.scoredPredictions(d, g, lcHarvested)
           exportTable(d.map(x => (x.doc_id, x.text)).toDF("doc_id", "text"), "tr_docs")
           exportTable(g.toDF().select(col("doc_id"), col("start"), col("end"),
             col("concept_id")), "tr_gold")
-          exportTable(scored, "tr_scored")
           exportTable(s.createDataset(Synth.concepts(k)).toDF(), "tr_concepts")
           exportTable(s.createDataset(Synth.descriptions(k)).toDF(), "tr_desc")
           exportTable(s.createDataset(Synth.extConcepts(k)).toDF(), "tr_extc")
@@ -1101,6 +1181,19 @@ object LinkageQueries {
              |    ORDER BY cnt DESC, concept_id ASC) AS rn FROM defaults) WHERE rn = 1)
              |SELECT a.name, a.section, a.concept_id, a.cnt, b.best_concept
              |FROM allr a JOIN best b ON a.name = b.name""".stripMargin)),
+
+    // corpus-path chunking (graded, rows-only — VERDICT r4 Next #6): the
+    // real synthetic-corpus text through the C2/C3 splitter + merger at the
+    // operator's default budgets, so the graded run times chunking on the
+    // natural sentence-length distribution, not only the closed-form
+    // derived families of `chunking` below (which carry the hard oracle for
+    // both phases). Exact behavior on the synth corpus stays pinned by
+    // GraphChunkingSpec; the driver records the rows-only check here.
+    QueryDef("chunking_corpus",
+      (s, dir) => {
+        implicit val sp = s
+        graft.operators.Chunking.apply(sharedDocs(s, dir)).toDF()
+      }, None),
 
     // chunking relation (C2 sentence split + C3 greedy token-budget merge)
     // over arithmetically derived doc texts, so every chunk boundary has a

@@ -46,7 +46,8 @@ object PipelineQueries {
       |  END AS grams FROM t),
       |gr AS (SELECT doc_id, unnest(grams) AS gram FROM shl),
       |gp AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |    list_transform(string_split(gram, ''), x -> CAST(unicode(x) AS HUGEINT))),
+      |    list_transform(list_filter(string_split(gram, ''), x -> x <> ''),
+      |      x -> CAST(unicode(x) AS HUGEINT))),
       |    (acc, c) -> (acc * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS UBIGINT) AS h
       |  FROM gr),
       |gm AS (SELECT doc_id, CAST((CAST(h AS HUGEINT) * CAST(2685821657736338717 AS HUGEINT))
@@ -174,20 +175,58 @@ object PipelineQueries {
              |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
              |WHERE rnk <= 5""".stripMargin)),
 
-    // LSH-bucketed ANN, per-class buckets (the scale path). ORACLE (r4,
-    // planted-twin construction): every vector re-enters 5 more times
-    // scaled ×2..×6 under vec_id + j·10^7. Cosine is scale-invariant, so
-    // each 6-member cluster is mutually at exactly 1.0 — strictly above the
-    // corpus' max real pairwise cosine (≈0.6) — and a scaled vector's
-    // hyperplane signature EQUALS the original's (dot signs unchanged), so
-    // all 5 co-members are guaranteed LSH candidates. Top-5 per query is
-    // therefore deterministic (5 twins at sim 1.0, ties by neighbor id) and
-    // equals brute-force SQL top-5 over the same augmented set — which is
-    // what the oracle computes. The REAL lshTopK path runs Spark-side
-    // (signatures, chunk buckets, id-only candidate dedup, vector re-attach,
-    // windowed top-k); recall on non-degenerate neighbors stays gated by
-    // SimilaritySpec (recall@5 ≥ 0.99 vs brute force).
+    // LSH-bucketed ANN, per-class buckets (the scale path), over the REAL
+    // un-augmented corpus (ADVICE r4 medium: the planted-twin input made
+    // the graded rows degenerate and silently changed the benchmarked
+    // workload 6×). ORACLE (r5): the engine's signature table is exported
+    // and the oracle re-derives everything downstream of it — 4-bit chunk
+    // buckets, the candidate pair set, exact cosine re-scoring against the
+    // embeddings VIEW (raw input, not an export), and the windowed top-5 —
+    // so genuine approximate-neighbor ranking is oracle-checked
+    // candidate-for-candidate. The signature computation itself is pinned
+    // by SimilaritySpec (determinism + recall@5 ≥ 0.99 vs brute force);
+    // the planted-twin FULL replay (no engine artifact at all) lives in
+    // ann_lsh_twin below.
     QueryDef("ann_lsh",
+      (s, dir) => {
+        implicit val sp = s
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        LinkageQueries.exportTable(
+          Similarity.hyperplaneSigs(e, classCol = Some("label")), "lsh_sigs")
+        Similarity.lshTopK(e, k = 5, classCol = Some("label"))
+      },
+      Some(s"""WITH sg AS (SELECT vec_id, cls, sig
+             |  FROM read_parquet('${LinkageQueries.ExportDir}/lsh_sigs/*.parquet')),
+             |ch AS (SELECT vec_id,
+             |    cls || ':' || c || ':' || ((sig >> CAST(4 * c AS INT)) & 15) AS bucket
+             |  FROM sg CROSS JOIN range(0, 4) t(c)),
+             |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+             |  FROM ch a JOIN ch b USING (bucket) WHERE a.vec_id <> b.vec_id),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT c.vec_id, c.neighbor_id,
+             |    round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+             |  FROM cand c JOIN e ea ON c.vec_id = ea.vec_id
+             |  JOIN e eb ON c.neighbor_id = eb.vec_id)
+             |SELECT vec_id, neighbor_id, sim, rnk FROM (
+             |  SELECT vec_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM p)
+             |WHERE rnk <= 5""".stripMargin)),
+
+    // Planted-twin FULL LSH replay (no engine artifact): every vector
+    // re-enters 5 more times scaled ×2..×6 under vec_id + j·10^7. Cosine is
+    // scale-invariant, so each 6-member cluster is mutually at exactly 1.0
+    // — strictly above the corpus' max real pairwise cosine (≈0.6) — and a
+    // scaled vector's hyperplane signature EQUALS the original's (dot signs
+    // unchanged), so all 5 co-members are guaranteed LSH candidates. Top-5
+    // per query is therefore deterministic and equals brute-force SQL top-5
+    // over the same augmented set — a zero-artifact end-to-end check of the
+    // whole LSH path on a workload CONSTRUCTED to make approximate = exact.
+    // (Split out of ann_lsh in r5 so the graded ann_lsh rows are the real
+    // workload; the 6× input here is a documented oracle construction, not
+    // a benchmark regression — BENCH/BASELINE.md.)
+    QueryDef("ann_lsh_twin",
       (s, dir) => {
         implicit val sp = s
         val e = t(s, dir, "embeddings")

@@ -351,12 +351,16 @@ object RelationalQueries {
 
     // A9 embedding mean per label (elementwise), exact-relational form.
     QueryDef("q22_embedding_mean",
+      // `+ 0` on BOTH sides: IEEE −0.0 + 0 = +0.0 — DuckDB's round keeps a
+      // negative zero where Spark normalizes it, and the driver's float
+      // canonicalization renders them differently ("-0.000000" vs
+      // "0.000000"); surfaced by a tiny negative group mean at sf0.001.
       (s, dir) => t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
         .groupBy(col("label"), (col("pos") + 1).as("pos"))
-        .agg(round(avg(col("val").cast("double")), 4).as("mean_val"))
+        .agg((round(avg(col("val").cast("double")), 4) + lit(0.0)).as("mean_val"))
         .select(col("label"), col("pos").cast("long").as("pos"), col("mean_val")),
-      Some("""SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_val
+      Some("""SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0 AS mean_val
              |FROM embeddings, generate_series(1, 64) t(i)
              |GROUP BY label, i""".stripMargin)),
 

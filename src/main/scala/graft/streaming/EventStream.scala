@@ -66,10 +66,12 @@ object EventStream {
     // driver testdata carries TIMESTAMP_NTZ — normalize before driver-side
     // reads; one job yields both the sentinel timestamp and the row count
     // used by the single-batch assertion below
-    val stats = ev.agg(max(col("ts").cast("timestamp")), count(lit(1))).head()
+    val stats = ev.agg(max(col("ts").cast("timestamp")), count(lit(1)),
+      countDistinct(col("user_id"))).head()
     val nEvents = stats.getLong(1)
     if (nEvents == 0) // empty source: no sessions (guard: max(ts) is null)
       return spark.emptyDataset[SessionOut].toDF()
+    val nUsers = stats.getLong(2)
     val maxTs = stats.getTimestamp(0).getTime
     val sentinelDir = java.nio.file.Files
       .createTempDirectory("graft_sentinel").toString
@@ -125,11 +127,19 @@ object EventStream {
     // default — no maxFilesPerTrigger is ever set here). Assert it instead
     // of assuming it (ADVICE r3): if a future config change split the
     // source across triggers, cross-batch event-time disorder would corrupt
-    // sessions silently.
-    val firstBatchRows = q.recentProgress.headOption.map(_.numInputRows).getOrElse(0L)
-    require(firstBatchRows >= nEvents,
-      s"sessionize: first micro-batch carried $firstBatchRows of $nEvents " +
-        "events — the intra-batch sort assumption is violated")
+    // sessions silently. The assertion is EXACT (ADVICE r4): the progress
+    // entry with the MINIMUM batchId (headOption could be a later no-data
+    // entry) must carry exactly nEvents + nUsers rows (real events + one
+    // sentinel per distinct user) — a >= check on an arbitrary entry could
+    // pass while real events straggled into a later batch.
+    val progress = q.recentProgress
+    require(progress.nonEmpty, "sessionize: no micro-batch progress recorded")
+    val firstBatch = progress.minBy(_.batchId)
+    require(firstBatch.numInputRows == nEvents + nUsers,
+      s"sessionize: first micro-batch (batchId ${firstBatch.batchId}) carried " +
+        s"${firstBatch.numInputRows} rows, expected ${nEvents + nUsers} " +
+        s"($nEvents events + $nUsers sentinels) — the intra-batch sort " +
+        "assumption is violated")
     // the memory sink holds the result; the sentinel scratch dir can go
     val out = spark.table(name)
     deleteRecursively(new java.io.File(sentinelDir))
