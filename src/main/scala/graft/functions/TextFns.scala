@@ -90,14 +90,29 @@ object TextFns {
   def minHashSignature(s: String, k: Int, ngram: Int = 3): Array[Long] =
     minHashOfSet(charNgrams(s, ngram), k)
 
-  /** MinHash over an arbitrary item set (e.g. word shingles). */
+  /** xorshift64* multiplier (public constant; < 2^62, so a HUGEINT product
+    * with any 64-bit value cannot overflow int128 — the property every SQL
+    * replay of this family relies on). */
+  val XsMul1 = 2685821657736338717L
+  /** xorshift1024* multiplier (public constant; < 2^61). */
+  val XsMul2 = 1181783497276652981L
+
+  /** MinHash over an arbitrary item set (e.g. word shingles). Per-gram base
+    * hashes are in the SQL-replayable poly family (r5; previously murmur):
+    * two xorshift64*-style folds of the 31-poly fingerprint — which makes
+    * the band keys (and hence every LSH blocking universe built on them)
+    * exactly re-derivable in DuckDB (doc_fingerprint / linkage_pairwise_f1
+    * oracles). */
   def minHashOfSet(grams: Array[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val mul = seedMultipliers(k)
     var g = 0
     while (g < grams.length) {
-      val base1 = MurmurHash3.stringHash(grams(g), 0x9747b28c).toLong
-      val base2 = MurmurHash3.stringHash(grams(g), 0x85ebca6b).toLong | 1L
+      val poly = fingerprint64(grams(g))
+      val m1 = poly * XsMul1
+      val base1 = m1 ^ (m1 >>> 32)
+      val m2 = poly * XsMul2
+      val base2 = (m2 ^ (m2 >>> 32)) | 1L
       var i = 0
       while (i < k) {
         // h_i(x) = a_i*h1(x) + b_i-style double hashing with FULL-RANGE
@@ -112,8 +127,16 @@ object TextFns {
     sig
   }
 
+  /** Domain-separated whole-string key hash in the poly family — the "ex:"/
+    * "st:" blocking-key hashes (replayable: xor the domain constant into the
+    * fingerprint, one bounded multiply, fold). */
+  def polyKeyHash(s: String, domain: Long): Long = {
+    val m = (fingerprint64(s) ^ domain) * XsMul1
+    m ^ (m >>> 32)
+  }
+
   private val seedMulCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
-  private def seedMultipliers(k: Int): Array[Long] =
+  private[graft] def seedMultipliers(k: Int): Array[Long] =
     seedMulCache.computeIfAbsent(k, _ => Array.tabulate(2 * k) { i =>
       // splitmix64 of the seed index, forced odd (bijective multiplier mod 2^64)
       var z = i.toLong + 0x9e3779b97f4a7c15L
@@ -182,20 +205,34 @@ object TextFns {
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Deterministic feature-hashed char-3-gram embedding, L2-normalized.
-    * Stands in for the reference's SapBERT embeddings
-    * (`2nd Place/src/embeds.py:50-72`) — no external models in this rebuild. */
-  def hashedEmbedding(s: String, dim: Int = 64): Array[Float] = {
+  /** UNNORMALIZED feature-hashed char-3-gram embedding: integer ±1 bucket
+    * sums (exactly representable in Float). The gram hash is the
+    * SQL-replayable poly family (`simGramHash`): bucket = floorMod(h, dim),
+    * sign = bit 6 (clear of the bucket bits at dim = 64). The pairwise
+    * scorer consumes THIS form: cosine of integer vectors is bit-exact
+    * across engines — products and partial sums are integers far below
+    * 2^53, and IEEE sqrt/division are correctly rounded — which is what
+    * lets the linkage_clusters oracle re-derive the scores in DuckDB
+    * instead of reading the engine's (VERDICT r4 Next #2). */
+  def hashedEmbeddingRaw(s: String, dim: Int = 64): Array[Float] = {
     val grams = charNgrams(normalize(s), 3)
     val v = new Array[Float](dim)
     var g = 0
     while (g < grams.length) {
-      val h = MurmurHash3.stringHash(grams(g), 0x1b873593)
-      val idx = math.floorMod(h, dim)
-      val sign = if (((h >>> 31) & 1) == 1) 1f else -1f
+      val h = simGramHash(grams(g))
+      val idx = math.floorMod(h, dim.toLong).toInt
+      val sign = if (((h >>> 6) & 1L) == 1L) 1f else -1f
       v(idx) += sign
       g += 1
     }
+    v
+  }
+
+  /** Deterministic feature-hashed char-3-gram embedding, L2-normalized.
+    * Stands in for the reference's SapBERT embeddings
+    * (`2nd Place/src/embeds.py:50-72`) — no external models in this rebuild. */
+  def hashedEmbedding(s: String, dim: Int = 64): Array[Float] = {
+    val v = hashedEmbeddingRaw(s, dim)
     var norm = 0.0
     var i = 0
     while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
@@ -257,9 +294,17 @@ object TextFns {
     (m / s1.length + m / s2.length + (m - t / 2) / m) / 3.0
   }
 
-  /** Jaro–Winkler: prefix boost (scale 0.1, max prefix 4), standard form. */
+  /** Jaro–Winkler: prefix boost (scale 0.1, max prefix 4), applied only
+    * when jaro > 0.7 — Winkler's boost-threshold form. Pinned to exactly
+    * the semantics of DuckDB's `jaro_winkler_similarity` built-in (floor
+    * half-transpositions in `jaro` + this threshold; fuzz-verified equal on
+    * 30k random pairs), which is what lets the linkage_clusters oracle
+    * replay the pairwise scorer with the built-in (VERDICT r4 Next #2).
+    * Sole remaining divergence: jaro("", "") is 1.0 here, 0.0 there — the
+    * oracle SQL guards equal strings before calling the built-in. */
   def jaroWinkler(s1: String, s2: String): Double = {
     val j = jaro(s1, s2)
+    if (j <= 0.7) return j
     var l = 0
     val maxPrefix = math.min(4, math.min(s1.length, s2.length))
     while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1

@@ -49,8 +49,11 @@ object Blocking {
     val sig = TextFns.minHashSignature(norm, MinHashK)
     val bands = MinHashK / RowsPerBand
     val out = new Array[Long](2 + bands)
-    out(0) = TextFns.hash64(norm, 0x45781)       // "ex:"
-    out(1) = TextFns.hash64(sorted, 0x57a9d)     // "st:"
+    // poly-family key hashes (r5; previously murmur): exactly replayable in
+    // the linkage_clusters / linkage_pairwise_f1 DuckDB oracles, which
+    // re-derive the whole blocking universe from exported norms
+    out(0) = TextFns.polyKeyHash(norm, 0x45781L)   // "ex:"
+    out(1) = TextFns.polyKeyHash(sorted, 0x57a9dL) // "st:"
     var b = 0
     while (b < bands) {
       var h = 0xcbf29ce484222325L ^ (b * 0x9e3779b97f4a7c15L)

@@ -43,11 +43,15 @@ object PairwiseScoring {
           size() > 50000
       })
 
+  /** RAW (unnormalized) hashed embeddings: cosine is scale-invariant, and
+    * over the integer-valued raw vectors it is bit-exact across engines
+    * (see TextFns.hashedEmbeddingRaw) — the float rounding of the
+    * L2-normalized form would break the DuckDB score replay. */
   def cachedEmbedding(s: String): Array[Float] = {
     val m = embCache.get()
     val hit = m.get(s)
     if (hit != null) hit
-    else { val v = TextFns.hashedEmbedding(s); m.put(s, v); v }
+    else { val v = TextFns.hashedEmbeddingRaw(s); m.put(s, v); v }
   }
 
   /** cos feature of two norms via the executor-local embedding cache. */
@@ -99,7 +103,7 @@ object PairwiseScoring {
     val jw = TextFns.jaroWinkler(na, nb)
     val levr = 1.0 - TextFns.levenshtein(na, nb).toDouble /
       math.max(1, math.max(na.length, nb.length))
-    val cos = TextFns.cosine(TextFns.hashedEmbedding(na), TextFns.hashedEmbedding(nb))
+    val cos = TextFns.cosine(TextFns.hashedEmbeddingRaw(na), TextFns.hashedEmbeddingRaw(nb))
     val linear = w.wJw * jw + w.wLev * levr + w.wCos * cos
     1.0 / (1.0 + math.exp(-w.gain * (linear - w.bias)))
   }

@@ -239,6 +239,102 @@ object LinkageQueries {
   private val headerSqlList: String =
     Synth.headers.map(h => "'" + graft.functions.TextFns.normalize(h) + "'").mkString(", ")
 
+  private[queries] val M64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+
+  /** 31-poly fingerprint of a VARCHAR expression as UBIGINT (mod-2^64
+    * HUGEINT reduce over per-char codepoints — ASCII-guarded corpus). */
+  private[queries] def polySql(expr: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |      list_transform(list_filter(string_split($expr, ''), x -> x <> ''),
+       |        x -> CAST(unicode(x) AS HUGEINT))),
+       |      (a, c) -> (a * 31 + c) % $M64) AS UBIGINT)""".stripMargin
+
+  /** xorshift64*-style finalize of a UBIGINT expression: multiply by a
+    * bounded odd constant (< 2^62 — no HUGEINT overflow), fold high half. */
+  private[queries] def foldSql(expr: String, mul: Long): String =
+    s"""xor(CAST((CAST($expr AS HUGEINT) * $mul) % $M64 AS UBIGINT),
+       |      CAST((CAST($expr AS HUGEINT) * $mul) % $M64 AS UBIGINT) >> 32)""".stripMargin
+
+  /** VALUES rows for the first k minhash seed-multiplier PAIRS, split into
+    * 32-bit limbs: multiplying by an ARBITRARY 64-bit constant overflows
+    * HUGEINT, so the SQL replay decomposes a·b mod 2^64 into limb products
+    * (each < 2^64). Constants come from the same splitmix64 generator the
+    * engine uses (TextFns.seedMultipliers) at SQL-build time. */
+  private[queries] def seedRowsSql(k: Int): String = {
+    val mul = graft.functions.TextFns.seedMultipliers(k)
+    (0 until k).map { i =>
+      val a = mul(2 * i); val b = mul(2 * i + 1)
+      s"($i, ${a >>> 32}, ${a & 0xffffffffL}, ${b >>> 32}, ${b & 0xffffffffL})"
+    }.mkString(", ")
+  }
+
+  /** a·b mod 2^64 where a is an embedded constant split into (hiCol, loCol)
+    * 32-bit limbs and `b` is a UBIGINT expression: the classic limb
+    * decomposition — lo·b_lo + 2^32·((hi·b_lo + lo·b_hi) mod 2^32), every
+    * partial product < 2^64, the sum < 2^65, all safely inside HUGEINT. */
+  private[queries] def limbMulSql(hiCol: String, loCol: String, b: String): String =
+    s"""(CAST($loCol AS HUGEINT) * CAST($b & CAST(4294967295 AS UBIGINT) AS HUGEINT)
+       |      + ((CAST($hiCol AS HUGEINT) * CAST($b & CAST(4294967295 AS UBIGINT) AS HUGEINT)
+       |          + CAST($loCol AS HUGEINT) * CAST($b >> 32 AS HUGEINT)) % 4294967296) * 4294967296)""".stripMargin
+
+  /** CTE fragment replaying `Blocking.keyHashesFor` for every DISTINCT norm
+    * of CTE `src` (which must expose a `norm` column): char-3-gram 31-poly
+    * fingerprints, the two xorshift64*-style folded base hashes, the
+    * 64-seed double-hash minhash (limb-decomposed mod-2^64 multiplies,
+    * SIGNED min like the engine's Long compare), FNV band folds with the
+    * per-band init, and the domain-separated ex:/st: whole-string hashes.
+    * Emits `<p>keys(norm, keyu)` — the same key multiset per norm the
+    * engine's flatMap produces — plus `<p>gb(norm, b1, b2)` per gram
+    * occurrence (b1 = simGramHash, reused by the embedding replay). */
+  private[graft] def blockKeySql(src: String, p: String): String =
+    s"""${p}nrm AS MATERIALIZED (SELECT DISTINCT norm FROM $src),
+       |${p}gr AS (SELECT norm, unnest(CASE WHEN length(norm) < 3 THEN [norm]
+       |    ELSE [substr(norm, i, 3) for i in range(1, length(norm) - 1)] END) AS gram
+       |  FROM ${p}nrm),
+       |${p}gp AS (SELECT norm, ${polySql("gram")} AS poly FROM ${p}gr),
+       |${p}gb AS MATERIALIZED (SELECT norm,
+       |    xor(m1, m1 >> 32) AS b1,
+       |    xor(m2, m2 >> 32) | CAST(1 AS UBIGINT) AS b2
+       |  FROM (SELECT norm,
+       |      CAST((CAST(poly AS HUGEINT) * ${graft.functions.TextFns.XsMul1}) % $M64 AS UBIGINT) AS m1,
+       |      CAST((CAST(poly AS HUGEINT) * ${graft.functions.TextFns.XsMul2}) % $M64 AS UBIGINT) AS m2
+       |    FROM ${p}gp)),
+       |${p}sd AS (SELECT * FROM (VALUES ${seedRowsSql(64)}) t(i, a1h, a1l, a2h, a2l)),
+       |${p}hh AS (SELECT norm, i,
+       |    CAST((${limbMulSql("a1h", "a1l", "b1")}
+       |      + ${limbMulSql("a2h", "a2l", "b2")}) % $M64 AS UBIGINT) AS hu
+       |  FROM ${p}gb CROSS JOIN ${p}sd),
+       |${p}sg AS MATERIALIZED (SELECT norm, i,
+       |    min(CAST(CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
+       |      THEN CAST(hu AS HUGEINT) - $M64
+       |      ELSE CAST(hu AS HUGEINT) END AS BIGINT)) AS hs
+       |  FROM ${p}hh GROUP BY norm, i),
+       |${p}sgu AS (SELECT norm, i,
+       |    CAST(CASE WHEN hs < 0 THEN CAST(hs AS HUGEINT) + $M64
+       |      ELSE CAST(hs AS HUGEINT) END AS UBIGINT) AS hu
+       |  FROM ${p}sg),
+       |${p}bd AS (SELECT norm, CAST(i // 4 AS INT) AS band, list(hu ORDER BY i) AS sl
+       |  FROM ${p}sgu GROUP BY norm, i // 4),
+       |${p}bk AS (SELECT norm,
+       |    list_reduce(list_prepend(
+       |      xor(CAST(14695981039346656037 AS UBIGINT),
+       |        CAST(CAST(band AS HUGEINT) * 11400714819323198485 % $M64 AS UBIGINT)),
+       |      sl),
+       |      (a, v) -> CAST((CAST(xor(a, v) AS HUGEINT) * 1099511628211)
+       |        % $M64 AS UBIGINT)) AS keyu
+       |  FROM ${p}bd),
+       |${p}wp AS (SELECT norm, ${polySql("norm")} AS poly FROM ${p}nrm),
+       |${p}sp AS (SELECT norm, ${polySql("sorted")} AS poly
+       |  FROM (SELECT norm, array_to_string(list_sort(list_filter(string_split(norm, ' '),
+       |      x -> x <> '' AND x NOT IN ('of','the','a','an','in','on','and','or','to'))), ' ') AS sorted
+       |    FROM ${p}nrm)),
+       |${p}keys AS MATERIALIZED (
+       |  SELECT norm, keyu FROM ${p}bk
+       |  UNION ALL
+       |  SELECT norm, ${foldSql("xor(poly, CAST(284545 AS UBIGINT))", graft.functions.TextFns.XsMul1)} FROM ${p}wp
+       |  UNION ALL
+       |  SELECT norm, ${foldSql("xor(poly, CAST(359069 AS UBIGINT))", graft.functions.TextFns.XsMul1)} FROM ${p}sp)""".stripMargin
+
   /** Full SQL replay of the flagship inference path — matchDocDual + the
     * greedy overlap resolve — over exported docs + dictionaries:
     * line/segment offset arithmetic (window prefix sums), sectioning with
@@ -757,16 +853,21 @@ object LinkageQueries {
 
     // full record-linkage pipeline: blocking → scoring → argmax link edges →
     // large-star/small-star clustering; output mention→cluster assignments.
-    // END-TO-END ORACLE (r4): the engine's scored pairs, unambiguous dict,
-    // node set and mention norms are exported, and DuckDB independently
-    // re-derives every assignment — window-SQL argmax + threshold for the
-    // link edges, then the graph-theoretic closed form of the clustering:
-    // after star contraction each component is a star around one "c:" node
-    // (each surface keeps ≤1 edge; "c:" < "s:" < "t:" makes the concept the
-    // lexicographic min = CC label), so expected components need no
-    // iterative CC. This puts a cross-engine check on the argmax-edge step,
-    // the large-star/small-star output, the term-assignment union and both
-    // fallback joins at once.
+    // NORMS-ONLY ORACLE (r5, closing VERDICT r4 Next #2/#3): the engine's
+    // scored pairs are NOT read any more — DuckDB re-derives the whole
+    // chain from exported node NORMS: the blocking-key universe (poly-family
+    // ex/st hashes + the 64-seed minhash band keys via limb-decomposed
+    // mod-2^64 multiplies — parity-checked key-for-key by
+    // tools/check_key_replay.py), the frequency cap, the bipartite
+    // candidate pairs with the length prefilter, all three scoring features
+    // (DuckDB jaro_winkler_similarity — the engine's JW is pinned to its
+    // exact semantics; levenshtein; cosine over the integer-valued raw
+    // hashed embeddings, bit-exact by construction), the logistic fusion,
+    // the per-surface argmax + threshold edges, then the graph-theoretic
+    // closed form of the clustering: after star contraction each component
+    // is a star around one "c:" node ("c:" < "s:" < "t:" makes the concept
+    // the lexicographic min = CC label), so expected components need no
+    // iterative CC.
     QueryDef("linkage_clusters",
       (s, dir) => {
         implicit val sp: SparkSession = s
@@ -776,22 +877,49 @@ object LinkageQueries {
           val d = LinkagePipeline.unambiguousDict(dict(s, n))
           val (docsDs, goldDs) = sharedCorpus(s, dir)
           val mentions = LinkagePipeline.mentionsFromSpans(docsDs, goldDs)
-          exportTable(r.scored.select(col("a"), col("b"), col("score")), "cl_scored")
           exportTable(d, "cl_dict")
-          exportTable(LinkagePipeline.surfaceNodesOf(mentions, d)
-            .select(col("id")), "cl_nodes")
+          exportTable(LinkagePipeline.surfaceNodesOf(mentions, d), "cl_nodes")
           exportTable(mentions.toDF().select(
             concat(lit("m:"), col("doc_id"), lit(":"), col("start"), lit(":"),
               col("end")).as("id"), col("norm")), "cl_mentions")
         }
         r.assignments
       },
-      Some(s"""WITH st AS (SELECT a, b, score
-             |  FROM read_parquet('$ExportDir/cl_scored/*.parquet')
-             |  WHERE a LIKE 's:%' AND b LIKE 't:%'),
-             |am AS (SELECT a, b FROM (SELECT a, b, score,
-             |    row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rn
-             |  FROM st) WHERE rn = 1 AND score >= 0.5),
+      Some(s"""WITH cln AS (SELECT id, norm FROM read_parquet('$ExportDir/cl_nodes/*.parquet')),
+             |${blockKeySql("cln", "k_")},
+             |kid AS MATERIALIZED (SELECT n.id, n.norm, k.keyu FROM cln n JOIN k_keys k USING (norm)),
+             |kok AS (SELECT keyu FROM kid GROUP BY keyu HAVING count(*) <= 1000),
+             |prs AS MATERIALIZED (
+             |  SELECT DISTINCT l.id AS a, r.id AS b, l.norm AS norm_a, r.norm AS norm_b
+             |  FROM kid l JOIN kok ok ON l.keyu = ok.keyu JOIN kid r ON r.keyu = l.keyu
+             |  WHERE l.id LIKE 's:%' AND r.id LIKE 't:%'
+             |    AND abs(length(l.norm) - length(r.norm)) <= 10),
+             |ev AS MATERIALIZED (SELECT norm, CAST(b1 % CAST(64 AS UBIGINT) AS INT) AS idx,
+             |    CAST(sum(CASE WHEN (b1 >> 6) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+             |      THEN 1 ELSE -1 END) AS BIGINT) AS w
+             |  FROM k_gb GROUP BY norm, idx),
+             |n2 AS MATERIALIZED (SELECT norm, sum(w * w) AS nn FROM ev GROUP BY norm),
+             |dots AS (SELECT p.a, p.b, sum(ea.w * eb.w) AS dot
+             |  FROM prs p JOIN ev ea ON ea.norm = p.norm_a
+             |  JOIN ev eb ON eb.norm = p.norm_b AND eb.idx = ea.idx
+             |  GROUP BY p.a, p.b),
+             |ft AS (SELECT p.a, p.b,
+             |    CASE WHEN p.norm_a = p.norm_b THEN 1.0
+             |         ELSE jaro_winkler_similarity(p.norm_a, p.norm_b) END AS jwv,
+             |    1.0 - CAST(levenshtein(p.norm_a, p.norm_b) AS DOUBLE)
+             |      / greatest(length(p.norm_a), length(p.norm_b), 1) AS levr,
+             |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+             |         ELSE CAST(coalesce(d.dot, 0) AS DOUBLE)
+             |           / sqrt(CAST(na.nn AS DOUBLE) * nb.nn) END AS cosv
+             |  FROM prs p
+             |  LEFT JOIN dots d ON d.a = p.a AND d.b = p.b
+             |  JOIN n2 na ON na.norm = p.norm_a JOIN n2 nb ON nb.norm = p.norm_b),
+             |am AS (SELECT a, b FROM (
+             |    SELECT a, b, score, row_number() OVER (PARTITION BY a
+             |      ORDER BY score DESC, b ASC) AS rn
+             |    FROM (SELECT a, b, 1.0 / (1.0 + exp(-12.0 *
+             |        ((0.3 * jwv + 0.4 * levr + 0.3 * cosv) - 0.82))) AS score FROM ft))
+             |  WHERE rn = 1 AND score >= 0.5),
              |tc AS (SELECT 't:' || mention AS t, 'c:' || concept_id AS c
              |  FROM read_parquet('$ExportDir/cl_dict/*.parquet')),
              |comp AS (SELECT am.a AS id, tc.c AS component FROM am JOIN tc ON am.b = tc.t
@@ -806,15 +934,24 @@ object LinkageQueries {
              |SELECT id, component FROM mm UNION ALL SELECT id, component FROM nn""".stripMargin)),
 
     // the north-rule gate computed distributed: pairwise P/R/F1 on labeled
-    // mention pairs at the same blocking key. END-TO-END ORACLE (r4): the
-    // query's actual inputs — the sampled candidate-pair universe, the gold
-    // labels, and the engine's cluster ASSIGNMENTS (real blocking → scoring
-    // → CC output) — are exported to parquet and DuckDB recomputes
-    // tp/fp/fn/P/R/F1 with the plain pair-counting SQL proven in
-    // metric_pairwise_f1.
+    // mention pairs at the same blocking key. ORACLE (r5): the candidate
+    // universe is no longer exported — DuckDB re-derives it from the
+    // exported mention (id, norm) table via the same blocking-key replay as
+    // linkage_clusters (freq cap ≤ 1000, a < b, distinct; the deterministic
+    // hash-sampling is inactive at graded scale factors, asserted
+    // engine-side). Gold labels are raw inputs; the engine's cluster
+    // ASSIGNMENTS stay the artifact under test, re-scored with the plain
+    // pair-counting SQL proven in metric_pairwise_f1.
     QueryDef("linkage_pairwise_f1",
       (s, dir) => pipelineF1(s, dir),
-      Some(s"""WITH u AS (SELECT a, b FROM read_parquet('$ExportDir/f1_universe/*.parquet')),
+      Some(s"""WITH fm AS (SELECT id, norm FROM read_parquet('$ExportDir/f1_mentions/*.parquet')),
+             |${blockKeySql("fm", "m_")},
+             |mk AS MATERIALIZED (SELECT f.id, k.keyu FROM fm f
+             |  JOIN (SELECT DISTINCT norm, keyu FROM m_keys) k USING (norm)),
+             |mok AS (SELECT keyu FROM mk GROUP BY keyu HAVING count(*) <= 1000),
+             |u AS (SELECT DISTINCT l.id AS a, r.id AS b
+             |  FROM mk l JOIN mok ok ON l.keyu = ok.keyu JOIN mk r ON r.keyu = l.keyu
+             |  WHERE l.id < r.id),
              |l AS (SELECT id, cid FROM read_parquet('$ExportDir/f1_labels/*.parquet')),
              |c AS (SELECT id, component FROM read_parquet('$ExportDir/f1_assign/*.parquet')),
              |j AS (SELECT (la.cid = lb.cid) AS gold, (ca.component = cb.component) AS pred
@@ -1291,10 +1428,21 @@ object LinkageQueries {
         pmod(xxhash64(col("a"), col("b")), lit(nPairs / maxUniversePairs + 1)) === 0)
     val labels = g.map(x => (s"m:${x.doc_id}:${x.start}:${x.end}", x.concept_id))
       .toDF("id", "cid")
-    // end-to-end oracle exports (Verify only): the sampled universe, the
-    // gold labels and the engine's cluster assignments — DuckDB re-scores
-    // these with plain pair-counting SQL (see the linkage_pairwise_f1 def)
-    exportTable(universe.select(col("a"), col("b")), "f1_universe")
+    // end-to-end oracle exports (Verify only): mention norms (the oracle
+    // re-derives the blocking universe from them — r5), gold labels, and
+    // the engine's cluster assignments, re-scored by plain pair-counting
+    // SQL (see the linkage_pairwise_f1 def). The SQL replays the FULL
+    // universe, so exporting while the hash-sampler is active would be a
+    // silent oracle mismatch — assert it never is at verified scales.
+    if (exportEnabled) {
+      require(nPairs <= maxUniversePairs,
+        s"linkage_pairwise_f1 oracle assumes the unsampled universe but " +
+          s"$nPairs pairs > $maxUniversePairs — verified scale factors must stay below the sampler")
+      val (dd, gg) = sharedCorpus(s, dir)
+      exportTable(LinkagePipeline.mentionsFromSpans(dd, gg).toDF().select(
+        concat(lit("m:"), col("doc_id"), lit(":"), col("start"), lit(":"),
+          col("end")).as("id"), col("norm")), "f1_mentions")
+    }
     exportTable(labels, "f1_labels")
     exportTable(result.assignments.toDF("id", "component"), "f1_assign")
     val la = labels.toDF("a", "cid_a"); val lb = labels.toDF("b", "cid_b")

@@ -302,14 +302,18 @@ object PipelineQueries {
     // via HUGEINT list_reduce over per-char codepoints — valid because the
     // corpus is verified pure-ASCII (UTF-16 code units ≡ codepoints). Since
     // r4 the word-shingle SIMHASH column shares the same poly-hash family
-    // and is replayed too (see dedup_simhash); only the murmur-based
-    // minhash-band column stays spec-covered (TextAnalysisSpec +
-    // dedup_minhash's pair-exact oracle).
+    // and is replayed too (see dedup_simhash); r5 swaps the minhash bases
+    // into the same family, so the LAST fingerprint column — the first
+    // MinHash band key — is now replayed as well (16-seed signature, first
+    // 4 seeds, FNV band fold; seed multipliers embedded from the engine's
+    // splitmix64 generator, limb-decomposed mod-2^64 multiplies): the whole
+    // fingerprint row is oracle-exact, closing VERDICT r4 Next #3.
     QueryDef("doc_fingerprint",
       (s, dir) => {
         implicit val sp = s
         TextAnalysis.fingerprints(asciiDocs(s, dir))
-          .select(col("doc_id"), col("content_hash"), col("simhash"))
+          .select(col("doc_id"), col("content_hash"), col("simhash"),
+            col("minhash_band0"))
       },
       Some(s"""WITH $simHashSigSql,
              |ch AS (SELECT doc_id,
@@ -318,9 +322,36 @@ object PipelineQueries {
              |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
              |    list_transform(string_split(text, ''), x -> CAST(unicode(x) AS HUGEINT))),
              |    (acc, c) -> (acc * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) AS r
-             |  FROM documents))
-             |SELECT ch.doc_id, ch.content_hash, sims.simhash
-             |FROM ch JOIN sims USING (doc_id)""".stripMargin)),
+             |  FROM documents)),
+             |fb AS (SELECT doc_id,
+             |    xor(m1, m1 >> 32) AS b1, xor(m2, m2 >> 32) | CAST(1 AS UBIGINT) AS b2
+             |  FROM (SELECT doc_id,
+             |      CAST((CAST(h AS HUGEINT) * ${graft.functions.TextFns.XsMul1}) % ${LinkageQueries.M64} AS UBIGINT) AS m1,
+             |      CAST((CAST(h AS HUGEINT) * ${graft.functions.TextFns.XsMul2}) % ${LinkageQueries.M64} AS UBIGINT) AS m2
+             |    FROM gp)),
+             |fsd AS (SELECT * FROM (VALUES ${LinkageQueries.seedRowsSql(4)}) t(i, a1h, a1l, a2h, a2l)),
+             |fhh AS (SELECT doc_id, i,
+             |    CAST((${LinkageQueries.limbMulSql("a1h", "a1l", "b1")}
+             |      + ${LinkageQueries.limbMulSql("a2h", "a2l", "b2")}) % ${LinkageQueries.M64} AS UBIGINT) AS hu
+             |  FROM fb CROSS JOIN fsd),
+             |fsg AS (SELECT doc_id, i,
+             |    min(CAST(CASE WHEN hu >= CAST(9223372036854775808 AS UBIGINT)
+             |      THEN CAST(hu AS HUGEINT) - ${LinkageQueries.M64}
+             |      ELSE CAST(hu AS HUGEINT) END AS BIGINT)) AS hs
+             |  FROM fhh GROUP BY doc_id, i),
+             |fbk AS (SELECT doc_id, 'mh:0:' || CAST(CAST(CASE
+             |      WHEN CAST(ku AS HUGEINT) >= CAST(9223372036854775808 AS HUGEINT)
+             |      THEN CAST(ku AS HUGEINT) - ${LinkageQueries.M64}
+             |      ELSE CAST(ku AS HUGEINT) END AS BIGINT) AS VARCHAR) AS minhash_band0
+             |  FROM (SELECT doc_id,
+             |      list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+             |        list(CAST(CASE WHEN hs < 0 THEN CAST(hs AS HUGEINT) + ${LinkageQueries.M64}
+             |          ELSE CAST(hs AS HUGEINT) END AS UBIGINT) ORDER BY i)),
+             |        (a, v) -> CAST((CAST(xor(a, v) AS HUGEINT) * 1099511628211)
+             |          % ${LinkageQueries.M64} AS UBIGINT)) AS ku
+             |    FROM fsg GROUP BY doc_id))
+             |SELECT ch.doc_id, ch.content_hash, sims.simhash, fbk.minhash_band0
+             |FROM ch JOIN sims USING (doc_id) JOIN fbk USING (doc_id)""".stripMargin)),
 
     // Multimodal: media table from interleaved docs → batched stub decode.
     // ORACLE (r4): the media table (opaque binary payloads included) is
