@@ -1319,18 +1319,91 @@ object LinkageQueries {
              |SELECT a.name, a.section, a.concept_id, a.cnt, b.best_concept
              |FROM allr a JOIN best b ON a.name = b.name""".stripMargin)),
 
-    // corpus-path chunking (graded, rows-only — VERDICT r4 Next #6): the
-    // real synthetic-corpus text through the C2/C3 splitter + merger at the
-    // operator's default budgets, so the graded run times chunking on the
-    // natural sentence-length distribution, not only the closed-form
-    // derived families of `chunking` below (which carry the hard oracle for
-    // both phases). Exact behavior on the synth corpus stays pinned by
-    // GraphChunkingSpec; the driver records the rows-only check here.
+    // corpus-path chunking (VERDICT r4 Next #6): the real synthetic-corpus
+    // text through the C2/C3 splitter + merger at the operator's default
+    // budgets (40/120), so the graded run times chunking on the natural
+    // sentence-length distribution, not only the closed-form derived
+    // families of `chunking` below. INPUTS-ONLY ORACLE: DuckDB replays the
+    // whole operator from the exported doc text — sentence tiling
+    // (boundary runs of .!?\n appended to the preceding span, whitespace-
+    // only spans dropped), whitespace tokenization with offsets, the
+    // cut-every-40-tokens split phase (cuts at sentence-LOCAL token starts:
+    // a non-ws run crossing a sentence boundary restarts as a new token,
+    // exactly like the engine's per-span scan), and the greedy ≤120-token
+    // re-merge as a per-doc recursive CTE; chunk n_tokens is re-counted
+    // over the merged span (piece sums would double-count runs that a
+    // sentence boundary splits, e.g. "3.5").
     QueryDef("chunking_corpus",
       (s, dir) => {
         implicit val sp = s
+        import s.implicits._
+        exportTable(sharedDocs(s, dir).map(d => (d.doc_id, d.text))
+          .toDF("doc_id", "text"), "ck_docs")
         graft.operators.Chunking.apply(sharedDocs(s, dir)).toDF()
-      }, None),
+      },
+      Some(s"""WITH RECURSIVE
+             |ckd AS (SELECT doc_id, text FROM read_parquet('$ExportDir/ck_docs/*.parquet')),
+             |sp0 AS (SELECT doc_id, piece, si,
+             |    CAST(sum(length(piece)) OVER (PARTITION BY doc_id ORDER BY si
+             |      ROWS UNBOUNDED PRECEDING) - length(piece) AS INT) AS ss
+             |  FROM (SELECT doc_id,
+             |      unnest(regexp_extract_all(text, '[^.!?\\n]*[.!?\\n]+|[^.!?\\n]+')) AS piece,
+             |      unnest(range(1, len(regexp_extract_all(text, '[^.!?\\n]*[.!?\\n]+|[^.!?\\n]+')) + 1)) AS si
+             |    FROM ckd)),
+             |snt AS (SELECT doc_id, si, ss, ss + length(piece) AS se FROM sp0
+             |  WHERE regexp_matches(piece, '[^ \\t\\n\\r\\x0B\\f]')),
+             |wsg AS (SELECT doc_id, seg, wi,
+             |    CAST(sum(length(seg)) OVER (PARTITION BY doc_id ORDER BY wi
+             |      ROWS UNBOUNDED PRECEDING) - length(seg) AS INT) AS wts
+             |  FROM (SELECT doc_id,
+             |      unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\x0B\\f]+|[ \\t\\n\\r\\x0B\\f]+')) AS seg,
+             |      unnest(range(1, len(regexp_extract_all(text, '[^ \\t\\n\\r\\x0B\\f]+|[ \\t\\n\\r\\x0B\\f]+')) + 1)) AS wi
+             |    FROM ckd)),
+             |wt AS MATERIALIZED (SELECT doc_id, wts, wts + length(seg) AS wte
+             |  FROM wsg WHERE regexp_matches(seg, '^[^ \\t\\n\\r\\x0B\\f]')),
+             |stk AS (SELECT s.doc_id, s.si, s.ss, s.se, greatest(w.wts, s.ss) AS lts,
+             |    row_number() OVER (PARTITION BY s.doc_id, s.si ORDER BY w.wts) AS rnk
+             |  FROM snt s JOIN wt w ON s.doc_id = w.doc_id AND w.wts < s.se AND w.wte > s.ss),
+             |bounds AS (
+             |  SELECT doc_id, si, ss AS b FROM snt
+             |  UNION ALL
+             |  SELECT doc_id, si, lts FROM stk WHERE rnk > 1 AND (rnk - 1) % 40 = 0),
+             |pieces AS (SELECT doc_id, b AS ps,
+             |    coalesce(lead(b) OVER (PARTITION BY doc_id, si ORDER BY b), se) AS pe,
+             |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY b) AS INT) AS k
+             |  FROM (SELECT bo.doc_id, bo.si, bo.b, s.se
+             |    FROM bounds bo JOIN snt s ON bo.doc_id = s.doc_id AND bo.si = s.si)),
+             |pt AS (SELECT p.doc_id, p.k, p.ps, p.pe,
+             |    CAST(count(w.wts) AS INT) AS t
+             |  FROM pieces p LEFT JOIN wt w
+             |    ON p.doc_id = w.doc_id AND w.wts < p.pe AND w.wte > p.ps
+             |  GROUP BY p.doc_id, p.k, p.ps, p.pe),
+             |parr AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS INT) AS n,
+             |    list(ps ORDER BY k) AS pss, list(pe ORDER BY k) AS pes,
+             |    list(t ORDER BY k) AS tts
+             |  FROM pt GROUP BY doc_id),
+             |mrg(doc_id, k, ct, brk) AS (
+             |  SELECT doc_id, 1, tts[1], true FROM parr WHERE n >= 1
+             |  UNION ALL
+             |  SELECT m.doc_id, m.k + 1,
+             |    CASE WHEN m.ct + a.tts[m.k + 1] > 120
+             |         THEN a.tts[m.k + 1] ELSE m.ct + a.tts[m.k + 1] END,
+             |    m.ct + a.tts[m.k + 1] > 120
+             |  FROM mrg m JOIN parr a USING (doc_id) WHERE m.k < a.n),
+             |cid AS (SELECT doc_id, k,
+             |    CAST(sum(CASE WHEN brk THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY k ROWS UNBOUNDED PRECEDING) AS INT) - 1 AS chunk_idx
+             |  FROM mrg),
+             |ch2 AS (SELECT c.doc_id, c.chunk_idx,
+             |    min(a.pss[c.k]) AS cs, max(a.pes[c.k]) AS ce
+             |  FROM cid c JOIN parr a USING (doc_id)
+             |  GROUP BY c.doc_id, c.chunk_idx)
+             |SELECT c.doc_id, c.chunk_idx, CAST(c.cs AS INT) AS start,
+             |  CAST(c.ce AS INT) AS "end",
+             |  CAST(count(w.wts) AS INT) AS n_tokens
+             |FROM ch2 c LEFT JOIN wt w
+             |  ON c.doc_id = w.doc_id AND w.wts < c.ce AND w.wte > c.cs
+             |GROUP BY c.doc_id, c.chunk_idx, c.cs, c.ce""".stripMargin)),
 
     // chunking relation (C2 sentence split + C3 greedy token-budget merge)
     // over arithmetically derived doc texts, so every chunk boundary has a

@@ -58,6 +58,29 @@ class TextFnsSpec extends AnyFunSuite {
     assert(simGramHash("tok") == -3688995587750053775L)
     assert(graft.queries.LinkageQueries.fieldHash("text", 2) == 1266702614553372243L)
     assert(graft.queries.LinkageQueries.fieldHash("", 1) == 7032746270253168692L)
+    // r5 poly-family blocking/scoring contract (linkage_clusters /
+    // linkage_pairwise_f1 / doc_fingerprint oracles + check_key_replay.py)
+    assert(polyKeyHash("acute femur fracture", 0x45781L) == 6618928011904736064L)
+    assert(polyKeyHash("acute femur fracture", 0x57a9dL) == -5552121414903584372L)
+    assert(minHashOfSet(Array("acu", "cut", "ute"), 8).head == -2369193049913744707L)
+    assert(bandKeys(minHashOfSet(Array("acu", "cut", "ute"), 8), 4)(0)
+      == "mh:0:-1156217193943856987")
+    assert(graft.operators.Blocking.keyHashesFor("femur fracture").take(2).toSeq
+      == Seq(-7865064049603187485L, 6299195537606827050L))
+    // raw embedding: bucket = floorMod(simGramHash, 64), sign = bit 6
+    val er = hashedEmbeddingRaw("femur")
+    assert(er.zipWithIndex.collect { case (w, i) if w != 0f => (i, w.toInt) }.toSeq
+      == Seq((45, 1), (58, 1), (59, 1)))
+  }
+
+  test("jaro-winkler boost threshold (DuckDB built-in parity)") {
+    // jaro <= 0.7: NO prefix boost despite the common 'd' prefix — the
+    // Winkler/DuckDB thresholded form the linkage_clusters oracle relies on
+    val j = jaro("dcbfe", "d fcca")
+    assert(j <= 0.7)
+    assert(jaroWinkler("dcbfe", "d fcca") == j)
+    // jaro > 0.7: boost applies
+    assert(jaroWinkler("acute", "abcde") == 0.76)
   }
 
   test("simhash hamming small for near-dup, large for unrelated") {
