@@ -109,18 +109,24 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    // annDocs == 0 → pipeline-only ladder (skips the annotate job per rep:
+    // lets a within-session 4↔16 pipeline ladder fit a short quiet window)
     val annDocs = args.headOption.map(_.toInt).getOrElse(1000000)
     val pipDocs = args.lift(1).map(_.toInt).getOrElse(100000)
+    val pipOnly = annDocs == 0
     // inputs on tmpfs too — the measurement is CPU scaling, not disk
     val dir =
       if (Files.isDirectory(Paths.get("/dev/shm")))
         Files.createTempDirectory(Paths.get("/dev/shm"), "graft-scaling").toString
       else Files.createTempDirectory("graft-scaling").toString
 
-    materialize(dir, annDocs, pipDocs)
+    materialize(dir, math.max(annDocs, 1000), pipDocs)
 
     // JIT warmup (small) so the first measured run isn't penalized
-    withSession(32) { s => annotateJob(s, dir, annDocs); () }
+    withSession(32) { s =>
+      if (pipOnly) pipelineJob(s, dir, pipDocs) else annotateJob(s, dir, annDocs)
+      ()
+    }
 
     case class Meas(cores: Int, tAnn: Double, tPip: Double)
     val levels = args.lift(2).map(_.split(',').toSeq.map(_.toInt))
@@ -133,7 +139,8 @@ object Scaling {
     // engine's steady-state
     val samples = (1 to reps).flatMap { r =>
       levels.map { k =>
-        val ta = withSession(k)(s => time(annotateJob(s, dir, annDocs)))._1
+        val ta = if (pipOnly) 0.0
+          else withSession(k)(s => time(annotateJob(s, dir, annDocs)))._1
         val tp = withSession(k)(s => time(pipelineJob(s, dir, pipDocs)))._1
         println(f"[scaling-sample] rep$r local[$k]: annotate $ta%.1f s, pipeline $tp%.1f s")
         (k, ta, tp)

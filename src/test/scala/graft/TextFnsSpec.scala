@@ -71,6 +71,13 @@ class TextFnsSpec extends AnyFunSuite {
     val er = hashedEmbeddingRaw("femur")
     assert(er.zipWithIndex.collect { case (w, i) if w != 0f => (i, w.toInt) }.toSeq
       == Seq((45, 1), (58, 1), (59, 1)))
+    // ADVICE r4 low, all-punctuation doc: Scala emits ONE empty shingle
+    // hashed as fingerprint64("") (seed only); the SQL replay's
+    // list_filter(x -> x <> '') makes its fold return the same bare seed.
+    // This constant was verified equal to the simHashSigSql DuckDB output
+    // for the same text — the empty-gram seam cannot silently reopen.
+    assert(graft.operators.Dedup.wordShingles("!!! ??? ... ;;;").toSeq == Seq(""))
+    assert(simHashOfSet(Array("")) == -8785620534301320867L)
   }
 
   test("jaro-winkler boost threshold (DuckDB built-in parity)") {
