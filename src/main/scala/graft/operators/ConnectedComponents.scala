@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Transitive closure via alternating large-star / small-star (the public
   * MapReduce CC algorithm of Kiveris et al., "Connected Components in
@@ -16,8 +17,30 @@ import org.apache.spark.sql.functions._
   * large-star: for each node u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀v ∈ Γ(u), v > u
   * small-star: orient edges to (max, min); m = min(N(u) ∪ {u}) = min N(u);
   *             emit (v, m) ∀v ∈ N(u) \ {m}, plus (u, m)
+  *
+  * LOCAL CONTRACTION (round 5): before the star rounds, edges are
+  * range-partitioned by endpoint and each partition is collapsed by an
+  * in-memory union-find into (local root → member) star edges. Connectivity
+  * is preserved exactly (a connected subset is replaced by a star), and the
+  * WHICH-root choice cannot affect the output — the star rounds recompute
+  * the true component minimum over all surviving nodes — so the JVM's
+  * natural ordering is safe even where it diverges from Spark's UTF8
+  * binary collation. On locality-shaped graphs (id-adjacent chains — the
+  * hierarchy/skip-chain workloads), a range partition co-locates whole
+  * component segments and the loop converges in ~1-2 rounds instead of
+  * ~log(diameter): at 1000 executors that removes most of the per-round
+  * stage barriers, the dominant cost of iterated CC at scale. The
+  * contraction replaces (and implicitly performs) the input `distinct`,
+  * so it costs the one exchange that dedup already paid. Per-task memory
+  * is bounded by `ContractCap` union-find entries; past the cap, edges
+  * pass through uncontracted (correctness unaffected).
   */
 object ConnectedComponents {
+
+  /** Max union-find entries per task before overflow edges pass through
+    * uncontracted: bounds task memory at ~a few hundred MB of id strings,
+    * the same envelope as Spark's own hash-aggregate maps. */
+  private[operators] val ContractCap = 1 << 22
 
   /** edges(a, b) → assignment(id, component) for every endpoint. */
   def apply(edgesIn: DataFrame, maxIter: Int = 40)
@@ -30,9 +53,9 @@ object ConnectedComponents {
     val nodes = edges0.select(col("a").as("id")).toDF("id")
       .union(edges0.select(col("b").as("id")).toDF("id")).distinct()
 
-    var edges = edges0.filter(col("a") =!= col("b"))
+    val norm = edges0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    var edges = contractStars(norm, spark)
       .localCheckpoint()
 
     var stable = false
@@ -83,6 +106,72 @@ object ConnectedComponents {
       .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+  }
+
+  /** Partition-local union-find contraction of normalized (u ≤ v) edges.
+    * Range-partitions by endpoint so id-adjacent edges co-locate, then
+    * emits (root → member) star edges per partition (duplicate input edges
+    * collapse as no-op unions — this replaces the former input distinct).
+    * Falls back to a plain distinct for node types without a typed path. */
+  private def contractStars(norm: DataFrame, spark: SparkSession): DataFrame = {
+    val ranged = norm.repartitionByRange(col("u"), col("v"))
+    norm.schema.head.dataType match {
+      case LongType =>
+        contractTyped[Long](ranged, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      case IntegerType =>
+        contractTyped[Int](ranged, Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+      case StringType =>
+        contractTyped[String](ranged, Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      case _ => norm.distinct()
+    }
+  }
+
+  private def contractTyped[T](ranged: DataFrame, enc: Encoder[(T, T)])
+                              (implicit ord: Ordering[T]): DataFrame = {
+    val cap = ContractCap
+    ranged.as[(T, T)](enc)
+      .mapPartitions(it => contractPartition(it, cap))(enc)
+      .toDF("u", "v")
+      // defensive re-orientation: the loop's invariant is Spark's own
+      // least/greatest; the local root was chosen by JVM ordering
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+  }
+
+  /** In-memory union-find over one partition's edges; past `cap` distinct
+    * nodes, further edges with unseen endpoints pass through unchanged. */
+  private[graft] def contractPartition[T](it: Iterator[(T, T)], cap: Int)
+                                             (implicit ord: Ordering[T]): Iterator[(T, T)] = {
+    val parent = new java.util.HashMap[T, T]()
+    val passthrough = scala.collection.mutable.ArrayBuffer.empty[(T, T)]
+    def find(x: T): T = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      if (parent.size >= cap && !(parent.containsKey(a) && parent.containsKey(b)))
+        passthrough += ((a, b))
+      else {
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val stars = scala.collection.mutable.ArrayBuffer.empty[(T, T)]
+    val keys = parent.keySet().iterator()
+    while (keys.hasNext) {
+      val k = keys.next()
+      val r = find(k)
+      if (r != k) stars += ((r, k))
+    }
+    stars.iterator ++ passthrough.iterator
   }
 
   private def smallStar(edges: DataFrame): DataFrame = {

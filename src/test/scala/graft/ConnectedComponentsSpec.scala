@@ -58,4 +58,36 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     val got = cc(edges)
     assert(got == oracle)
   }
+
+  test("long-typed chain across many partitions (local-contraction path)") {
+    // a q19-shaped graph: one long id-adjacent chain + a disjoint star,
+    // spread over enough partitions that contraction must stitch segments
+    val chain = (1L until 5000L).map(i => (i - 1, i))
+    val star = (0L until 50L).map(i => (1000000L, 1000000L + i + 1))
+    val edges = spark.sparkContext.parallelize(chain ++ star, 16).toDF("a", "b")
+    val m = ConnectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 5000L).forall(m(_) == 0L))
+    assert((0L to 50L).forall(i => m(1000000L + i) == 1000000L))
+  }
+
+  test("contraction cap overflow passes edges through with connectivity intact") {
+    // cap=4 distinct nodes: most of the chain overflows to passthrough;
+    // the emitted edge set must still connect the full chain
+    val edges = (1 to 20).map(i => (i - 1, i))
+    val out = ConnectedComponents
+      .contractPartition[Int](edges.iterator, cap = 4).toSeq
+    val parent = scala.collection.mutable.Map[Int, Int]()
+    def find(x: Int): Int = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    out.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert((0 to 20).map(find).toSet.size == 1)
+    // and the star edges it did emit stay within the node universe
+    assert(out.flatMap(e => Seq(e._1, e._2)).toSet.subsetOf((0 to 20).toSet))
+  }
 }
