@@ -93,15 +93,20 @@ object LinkagePipeline {
     d.select(concat(lit("t:"), col("mention")).as("a"),
       concat(lit("c:"), col("concept_id")).as("b"))
 
-  /** Per-surface argmax link edge (see `run` scaladoc). */
-  private[graft] def argmaxEdges(scored: DataFrame): DataFrame = {
-    val st = scored.filter(col("a").startsWith("s:") && col("b").startsWith("t:"))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
-    st.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1 && col("score") >= 0.5)
+  /** Per-surface argmax link edge (see `run` scaladoc). Hash-aggregated
+    * `min_by` on (−score, b) instead of a row_number window: identical
+    * output (threshold-first commutes with argmax — the best candidate
+    * above threshold IS the argmax when it passes; min of (−score, b)
+    * reproduces the score DESC, b ASC tie-break), but with map-side
+    * partial aggregation the full sort shuffle of the scored-pairs table —
+    * the pipeline's largest intermediate — disappears. */
+  private[graft] def argmaxEdges(scored: DataFrame): DataFrame =
+    scored
+      .filter(col("a").startsWith("s:") && col("b").startsWith("t:") &&
+        col("score") >= 0.5)
+      .groupBy(col("a"))
+      .agg(min_by(col("b"), struct(negate(col("score")).as("ns"), col("b"))).as("b"))
       .select(col("a"), col("b"))
-  }
 
   /** Mention-level assignments: every mention inherits its surface's
     * component; surfaces with no edges fall back to their own surface node

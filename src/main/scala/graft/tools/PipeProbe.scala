@@ -45,12 +45,7 @@ object PipeProbe {
       val scored = graft.operators.PairwiseScoring.scoreInline(pairs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"[probe] scored=${scored.count()}"); lap("scored")
-      val st = scored.filter(col("a").startsWith("s:") && col("b").startsWith("t:"))
-      val w1 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
-      val simEdges = st.withColumn("rn", row_number().over(w1))
-        .filter(col("rn") === 1 && col("score") >= 0.5)
-        .select(col("a"), col("b"))
+      val simEdges = graft.plans.LinkagePipeline.argmaxEdges(scored)
       val structEdges = d.select(concat(lit("t:"), col("mention")).as("a"),
         concat(lit("c:"), col("concept_id")).as("b"))
       val edges = simEdges.union(structEdges)

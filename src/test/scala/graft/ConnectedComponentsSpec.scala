@@ -71,6 +71,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert((0L to 50L).forall(i => m(1000000L + i) == 1000000L))
   }
 
+  test("output is invariant to input partitioning (contraction root choice is neutral)") {
+    val edges = (0 until 300).map { i =>
+      val u = graft.fixtures.Synth.hn(90, i.toLong, 3L)
+      val v = graft.fixtures.Synth.hn(90, i.toLong, 4L)
+      (f"p$u%03d", f"p$v%03d")
+    }
+    val layouts = Seq(
+      edges.toDF("a", "b").coalesce(1),
+      spark.sparkContext.parallelize(edges, 7).toDF("a", "b"),
+      spark.sparkContext.parallelize(edges.reverse, 23).toDF("a", "b"))
+    val results = layouts.map { df =>
+      ConnectedComponents(df).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(results.distinct.size == 1)
+  }
+
   test("contraction cap overflow passes edges through with connectivity intact") {
     // cap=4 distinct nodes: most of the chain overflows to passthrough;
     // the emitted edge set must still connect the full chain
