@@ -32,10 +32,15 @@ object Scaling {
     val localDir =
       if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-spark-local"
       else System.getProperty("java.io.tmpdir")
+    // default: shuffle partitions track cores (the round-2..5 ladder
+    // protocol). GRAFT_SHUFFLE_PARTS pins a FIXED partition count at every
+    // level — the truer cluster analogy (a real job sizes partitions for
+    // the data, then scales executors under it)
+    val parts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", cores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
