@@ -72,22 +72,50 @@ object Synth {
   // ---- terminology ----
   def conceptId(i: Int): Long = 100003L + i.toLong * 16L // SCTID-ish, sparse
 
-  /** Distinct (adj, anatomy, noun) triple per concept index (bijective walk). */
+  /** Name-qualifier vocabulary for concept indices past the triple space —
+    * disjoint from every other vocab list (adjectives/anatomies/nouns/
+    * attrWords/fillers), so qualified names can never collide with an
+    * attribute-child or filler phrase. */
+  val qualifiers: Vector[String] = Vector(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "rho",
+    "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega", "digamma")
+
+  /** Distinct (adj, anatomy, noun) triple per concept index (bijective
+    * walk), extended past the 32^3 = 32,768 triple space by bijective
+    * base-24 qualifier words for the cycle index i/total: without them,
+    * every name at k = 160k concepts is shared by ~5 concepts, most dict
+    * terms become ambiguous, and a large-corpus scaling workload silently
+    * degenerates (measured: 1.6M docs produced 7× FEWER candidate pairs
+    * than 400k). Names for i < 32,768 — every sf-dir fixture the oracles
+    * see (k ≤ 500) — are byte-identical to the unqualified form. */
   def conceptName(i: Int): String = {
     val total = adjectives.length * anatomies.length * nouns.length
     val idx = math.floorMod(i.toLong * 10007L, total.toLong).toInt // 10007 coprime to total
     val a = idx % adjectives.length
     val b = (idx / adjectives.length) % anatomies.length
     val c = idx / (adjectives.length * anatomies.length)
-    s"${adjectives(a)} ${anatomies(b)} ${nouns(c)}"
+    val base = s"${adjectives(a)} ${anatomies(b)} ${nouns(c)}"
+    var j = i / total
+    if (j == 0) base
+    else {
+      val sb = new StringBuilder(base)
+      while (j > 0) { // bijective base-24 numeration of the cycle index
+        sb.append(' ').append(qualifiers((j - 1) % qualifiers.length))
+        j = (j - 1) / qualifiers.length
+      }
+      sb.toString
+    }
   }
   def hierarchy(i: Int): String = hierarchies(i % 3)
   def fsn(i: Int): String = s"${conceptName(i)} (${hierarchy(i)})"
   /** Permutation synonym: "X A B" -> "X of A B" reordered, mirroring the
-    * reference's "X of Y" permutations (`1st Place/src/mimic_train.py:198-222`). */
+    * reference's "X of Y" permutations (`1st Place/src/mimic_train.py:198-222`).
+    * Qualifier words (4th+) ride along at the end so permutation synonyms
+    * stay distinct across name-space cycles. */
   def permSynonym(i: Int): String = {
     val parts = conceptName(i).split(' ')
-    s"${parts(2)} of ${parts(0)} ${parts(1)}" // "fracture of acute femur"
+    (Seq(parts(2), "of", parts(0), parts(1)) ++ parts.drop(3)).mkString(" ")
   }
 
   /** Deterministic single-char adjacent swap inside the k-th token (mild typo). */

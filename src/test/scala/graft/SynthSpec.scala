@@ -56,6 +56,32 @@ class SynthSpec extends AnyFunSuite {
       TextFns.normalize(Synth.conceptName(3))) > 0.9)
   }
 
+  test("concept names stay bijective past the 32^3 triple space") {
+    // the scaling ladders run k up to 400k concepts: every name (and every
+    // permutation synonym) must stay unique or the linkage workload
+    // degenerates via unambiguousDict (measured r5: at k=160k every
+    // unqualified name was shared by ~5 concepts and candidate pairs
+    // DROPPED 7x when the corpus grew 4x)
+    val total = Synth.adjectives.length * Synth.anatomies.length * Synth.nouns.length
+    val idxs = (0 until 3000) ++ (total - 1500 until total + 1500) ++
+      (5 * total - 500 until 5 * total + 500) ++
+      (24 * total - 500 until 26 * total + 500)
+    val names = idxs.map(Synth.conceptName)
+    assert(names.distinct.size == idxs.size)
+    assert(idxs.map(Synth.permSynonym).distinct.size == idxs.size)
+    // sf-dir-visible names (i < total) are byte-identical to the
+    // unqualified triple form: exactly 3 words, no qualifier vocabulary
+    for (i <- 0 until 2000) {
+      val w = Synth.conceptName(i).split(' ')
+      assert(w.length == 3 && !w.exists(Synth.qualifiers.contains))
+    }
+    // qualified names end in qualifier words, which no other vocab contains
+    assert(Synth.conceptName(total + 7).split(' ').length == 4)
+    val qv = Synth.qualifiers.toSet
+    assert(qv.intersect(Synth.adjectives.toSet ++ Synth.anatomies.toSet ++
+      Synth.nouns.toSet ++ Synth.attrWords.toSet ++ Synth.fillers.toSet).isEmpty)
+  }
+
   test("dictionary terms are normalized and reference active concepts") {
     val dict = Synth.dictionary(200)
     assert(dict.nonEmpty)
