@@ -93,6 +93,32 @@ object LinkagePipeline {
     d.select(concat(lit("t:"), col("mention")).as("a"),
       concat(lit("c:"), col("concept_id")).as("b"))
 
+  /** OPT-IN uniform spread of candidate pairs ahead of the CPU-heavy
+    * scoring stage: `repartition(4 × shuffle parallelism, hash(a, b))`.
+    * Scoring cost is per-ROW (Levenshtein is O(|a|·|b|)) with zero
+    * locality requirement — the argmax aggregate reshuffles by `a` anyway
+    * — so hashing on the near-unique pair itself is the uniform
+    * distribution, and the explicit partition count keeps AQE from
+    * coalescing a cheap-to-shuffle/expensive-to-compute exchange into few
+    * fat tasks.
+    *
+    * NOT in the default plan, by measurement (400k docs, local[16], same
+    * session): the shipped fused join→score→cache stage ran 105-132 s;
+    * inserting this spread made it 176-199 s — the extra full exchange of
+    * the norm-carrying pair rows costs more on a memory-bound host than
+    * the residual post-salting skew it insures against (AQE skew-join
+    * splitting plus `Blocking`'s frequency cap + salted replication
+    * already bound the reducer sizes). Reach for it when a corpus's key
+    * distribution defeats the cap+salt envelope — the observed failure
+    * mode (one reduce partition running 350+ s of single-threaded
+    * Levenshtein while 15 threads idle) appears when scoring is fused
+    * with an UN-materialized argmax chain; see the `persistScored`
+    * scaladoc on `run`. */
+  private[graft] def scoringSpread(pairs: DataFrame)
+                                  (implicit spark: SparkSession): DataFrame =
+    pairs.repartition(spark.sessionState.conf.numShufflePartitions * 4,
+      col("a"), col("b"))
+
   /** Per-surface argmax link edge (see `run` scaladoc). Hash-aggregated
     * `min_by` on (−score, b) instead of a row_number window: identical
     * output (threshold-first commutes with argmax — the best candidate
@@ -122,9 +148,24 @@ object LinkagePipeline {
         coalesce(col("component"), concat(lit("s:"), col("norm"))).as("component"))
   }
 
+  /** @param persistScored cache the scored-pairs table (the pipeline's
+    *   largest intermediate). Keep true (the default) even when the caller
+    *   never reads `Result.scored`: the cache boundary is a materialization
+    *   point that pins the expensive scoring expressions (Levenshtein + JW +
+    *   ngram-cosine) to exactly ONE evaluation per pair. Without it the
+    *   argmax consumer's filter (`score >= 0.5`) and `min_by` sort key
+    *   (`-score`) each re-derive the score from the raw norms — they sit in
+    *   different operators, and codegen's common-subexpression elimination
+    *   does not span operator boundaries — and the measured effect is not a
+    *   constant factor but a cliff: the 400k-doc ladder job went 105 s →
+    *   440-590 s at local[16] un-persisted (stack dumps showed executor
+    *   threads re-running `levenshteinDistance` inside the downstream
+    *   stages). The flag exists for callers that substitute their OWN
+    *   materialization boundary (e.g. `runCheckpointed`, where the scored
+    *   stage commits to parquet). */
   def run(mentions: Dataset[Mention], dict: Dataset[DictEntry],
           weights: PairwiseScoring.Weights = PairwiseScoring.Weights(),
-          hotKeyCap: Int = 1000)
+          hotKeyCap: Int = 1000, persistScored: Boolean = true)
          (implicit spark: SparkSession): Result = {
     import org.apache.spark.storage.StorageLevel
     val d = unambiguousDict(dict)
@@ -145,8 +186,10 @@ object LinkagePipeline {
     val pairs = Blocking.candidatePairsBipartite(
       keysN.filter(col("id").startsWith("s:")),
       keysN.filter(col("id").startsWith("t:")), hotKeyCap)
-    val scored = PairwiseScoring.scoreInline(pairs, weights)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scoredBase = PairwiseScoring.scoreInline(pairs, weights)
+    val scored =
+      if (persistScored) scoredBase.persist(StorageLevel.MEMORY_AND_DISK)
+      else scoredBase
     // Linking edges use BEST-CANDIDATE semantics (the reference's top-k →
     // threshold → pick-best shape, `2nd Place/submission/infer.py:184-232`,
     // `3rd Place/src/snomedctentitylinking.py:603-646`): each surface keeps
@@ -190,7 +233,8 @@ object LinkagePipeline {
       .select(col("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     Result(assignments, scored, mentionKeys, keyFreq, nodeKeys = keys,
-      persisted = Seq(nodes, keysN, scored, components, mentionKeys))
+      persisted = Seq(nodes, keysN, components, mentionKeys) ++
+        (if (persistScored) Seq(scored) else Nil))
   }
 
   /** Checkpoint-resumable variant: every stage commits to `workDir` through
