@@ -72,6 +72,62 @@ object Graph {
     acc
   }
 
+  /** G3 shortest-path distances: min directed hop count from each root in
+    * `roots(root)` to every reachable node, as (root, node, dist).
+    *
+    * The reference answers path queries with `nx.shortest_path` over its
+    * DiGraph (`2nd Place/src/snomed_graph.py:284-320` find_path, which BFS's
+    * sctid1→sctid2 and falls back to the reverse direction); here the same
+    * answer is level-synchronous frontier BFS as iterative Dataset joins —
+    * the first level a node is reached at IS its min distance, so novelty
+    * (left_anti vs the accumulator) doubles as the min() and no per-node
+    * relaxation state is needed. O(diameter) rounds, each one shuffle on
+    * the frontier (O(answer) rows, never the closure), `localCheckpoint`
+    * per round to cut lineage — the q19/G2 skeleton. */
+  def shortestPaths(edges: DataFrame, roots: DataFrame, maxDist: Int = 64)
+                   (implicit spark: SparkSession): DataFrame = {
+    val e = edges.select(col("child"), col("parent")).localCheckpoint()
+    val r = roots.select(col("root")).distinct()
+    // dist 1: direct children of each root (root→node via parent→child)
+    var frontier = e.join(r, e("parent") === r("root"))
+      .select(col("root"), col("child").as("node"), lit(1).as("dist"))
+      .distinct().localCheckpoint()
+    var acc = frontier
+    var d = 1
+    var done = frontier.isEmpty
+    while (!done && d < maxDist) {
+      val next = frontier.join(e, frontier("node") === e("parent"))
+        .select(frontier("root"), e("child").as("node"),
+          (frontier("dist") + 1).as("dist"))
+        .distinct()
+        .join(acc, Seq("root", "node"), "left_anti")
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        acc = acc.union(next).localCheckpoint()
+        frontier = next
+      }
+      d += 1
+    }
+    acc
+  }
+
+  /** G3 neighbourhood: every node within `steps` UNDIRECTED hops of each
+    * root, excluding the root itself, as (root, node, dist) with dist the
+    * min undirected hop count (`2nd Place/src/snomed_graph.py:258-282`
+    * get_neighbourhood recurses over parents ∪ children). Same BFS as
+    * [[shortestPaths]] over the symmetrized edge set; the reference also
+    * drops its global root concept — callers exclude domain roots by
+    * filtering `node` before/after. */
+  def neighbourhood(edges: DataFrame, roots: DataFrame, steps: Int)
+                   (implicit spark: SparkSession): DataFrame = {
+    require(steps > 0, "neighbourhood: steps must be > 0")
+    val sym = edges.select(col("child"), col("parent"))
+      .union(edges.select(col("parent").as("child"), col("child").as("parent")))
+    shortestPaths(sym, roots, maxDist = steps)
+      .filter(col("node") =!= col("root"))
+  }
+
   /** G4: isolate removal — nodes that appear in no edge. */
   def removeIsolates(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val endpoints = edges.select(col("child").as("id"))

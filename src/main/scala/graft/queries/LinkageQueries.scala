@@ -1474,8 +1474,145 @@ object LinkageQueries {
              |  FROM (SELECT 's' || ck AS doc_id, m, 8 * m AS T, m * ns AS N,
              |      unnest(range(0, CAST(ceil(m * ns / 3.0) AS BIGINT))) AS j
              |    FROM (SELECT c_custkey AS ck, 2 + c_custkey % 2 AS m,
-             |        3 + c_custkey % 5 AS ns FROM customer)))""".stripMargin))
+             |        3 + c_custkey % 5 AS ns FROM customer)))""".stripMargin)),
+
+    // C4 BIO label alignment (get_labels, 2nd Place/src/data.py:43-53):
+    // gold char spans → per-token BIO labels via offset bisect, classes
+    // from the concept hierarchy. ORACLE: docs + gold exported; DuckDB
+    // re-derives the token starts (alnum-run scan over per-char lists),
+    // li/ri as counts of starts below each boundary, and the reference's
+    // sequential last-span-wins writes as an argmax over span order — an
+    // independent formulation of the same semantics. Output: the labeled
+    // (non-O) tokens.
+    QueryDef("bio_labels",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        if (exportEnabled) {
+          exportTable(sharedDocs(s, dir).map(d => (d.doc_id, d.text))
+            .toDF("doc_id", "text"), "bl_docs")
+          exportTable(sharedGold(s, dir).toDF(), "bl_gold")
+        }
+        graft.operators.Bio.bioLabels(sharedDocs(s, dir),
+            sharedGold(s, dir).toDF().withColumn("cls", conceptClsExpr))
+          .filter(col("label") =!= "O")
+      },
+      Some(s"""WITH ${bioLabelCtes("bl_docs", "bl_gold")}
+             |SELECT doc_id, ti, tstart, tend, label FROM lab WHERE rn = 1""".stripMargin)),
+
+    // C5 BIO decode back to mentions (fix_spans + join_classes_bio,
+    // 2nd Place/submission/infer.py:83-125): the C4 labels with token ends
+    // extended one char (the tokenizer-offsets-include-following-space
+    // shape that makes the strip adjustment live), O's dropped, B-headed
+    // runs merged while char gaps ≤ 2, offsets shrunk to the stripped
+    // surface. ORACLE: same inputs-only label re-derivation as bio_labels,
+    // then the merge sweep as a per-doc recursive CTE over list-packed
+    // spans and the strip arithmetic in ltrim/trim form.
+    QueryDef("bio_decode",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        if (exportEnabled) {
+          exportTable(sharedDocs(s, dir).map(d => (d.doc_id, d.text))
+            .toDF("doc_id", "text"), "bd_docs")
+          exportTable(sharedGold(s, dir).toDF(), "bd_gold")
+        }
+        val docs = sharedDocs(s, dir)
+        val labeled = graft.operators.Bio.bioLabels(docs,
+          sharedGold(s, dir).toDF().withColumn("cls", conceptClsExpr))
+        val docLen = docs.map(d => (d.doc_id, d.text.length))
+          .toDF("doc_id", "n")
+        val extended = labeled.join(docLen, "doc_id")
+          .withColumn("tend", least(col("tend") + 1, col("n")))
+          .select("doc_id", "tstart", "tend", "label")
+        graft.operators.Bio.decodeMentions(docs, extended)
+      },
+      Some(s"""WITH RECURSIVE ${bioLabelCtes("bd_docs", "bd_gold")},
+             |lbl AS (SELECT l.doc_id, l.tstart,
+             |    least(l.tend + 1, b.n) AS tend, l.label
+             |  FROM lab l JOIN bld b USING (doc_id) WHERE l.rn = 1),
+             |nz AS MATERIALIZED (SELECT doc_id, tstart, tend, label,
+             |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tstart) AS INT) AS k
+             |  FROM lbl),
+             |nzarr AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS INT) AS kn,
+             |    list(tstart ORDER BY k) AS ss, list(tend ORDER BY k) AS es,
+             |    list(label ORDER BY k) AS ls
+             |  FROM nz GROUP BY doc_id),
+             |mg(doc_id, k, head) AS (
+             |  SELECT doc_id, 1, 1 FROM nzarr WHERE kn >= 1
+             |  UNION ALL
+             |  SELECT m.doc_id, m.k + 1,
+             |    CASE WHEN (a.ss[m.k + 1] - a.es[m.k]) IN (0, 1, 2)
+             |        AND substr(a.ls[m.head], 1, 1) = 'B'
+             |        AND substr(a.ls[m.k + 1], 1, 1) = 'I'
+             |        AND substr(a.ls[m.head], 3) = substr(a.ls[m.k + 1], 3)
+             |      THEN m.head ELSE m.k + 1 END
+             |  FROM mg m JOIN nzarr a USING (doc_id) WHERE m.k < a.kn),
+             |grp AS (SELECT m.doc_id, m.head,
+             |    max(m.k) AS klast FROM mg m GROUP BY m.doc_id, m.head),
+             |raw AS (SELECT g.doc_id, a.ss[g.head] AS s0, a.es[g.klast] AS e0,
+             |    substr(a.ls[g.head], 3) AS cls
+             |  FROM grp g JOIN nzarr a USING (doc_id)),
+             |st AS (SELECT r.doc_id, r.s0, r.e0, r.cls,
+             |    array_slice(b.text, r.s0 + 1, r.e0) AS t, b.text
+             |  FROM raw r JOIN bld b USING (doc_id)),
+             |ws AS (SELECT ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12) AS cs),
+             |adj AS (SELECT doc_id,
+             |    CAST(s0 + length(t) - length(ltrim(t, cs)) AS INT) AS "start",
+             |    CAST(s0 + length(t) - length(ltrim(t, cs)) + length(trim(t, cs)) AS INT) AS "end",
+             |    cls, text
+             |  FROM st CROSS JOIN ws)
+             |SELECT doc_id, "start", "end",
+             |  array_slice(text, "start" + 1, "end") AS term, cls
+             |FROM adj""".stripMargin))
   )
+
+  /** Span class from the synth concept id — hierarchy(i) over
+    * conceptId(i) = 100003 + 16i (fixtures/Synth.scala), the
+    * add_concept_class analog (`2nd Place/src/data.py:20-38`). */
+  private def conceptClsExpr: org.apache.spark.sql.Column =
+    expr("""CASE CAST(((concept_id - 100003) div 16) % 3 AS INT)
+           |  WHEN 0 THEN 'finding' WHEN 1 THEN 'procedure'
+           |  ELSE 'body structure' END""".stripMargin)
+
+  /** Shared bio_labels oracle CTE chain over exported docs/gold tables:
+    * ends in `lab(doc_id, ti, tstart, tend, label, rn)` where rn = 1 picks
+    * the last-written (max span order) label per token. Tokens are maximal
+    * [a-zA-Z0-9] runs (ASCII corpus — the single-char BETWEEN comparisons
+    * are exact). */
+  private def bioLabelCtes(docsT: String, goldT: String): String =
+    s"""bld AS MATERIALIZED (SELECT doc_id, text, length(text) AS n
+       |  FROM read_parquet('$ExportDir/$docsT/*.parquet')),
+       |tkb AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(range(0, n), p ->
+       |      (text[p+1] BETWEEN '0' AND '9' OR lower(text[p+1]) BETWEEN 'a' AND 'z')
+       |      AND (p = 0 OR NOT (text[p] BETWEEN '0' AND '9' OR lower(text[p]) BETWEEN 'a' AND 'z'))) AS starts,
+       |    list_filter(range(0, n), p ->
+       |      (text[p+1] BETWEEN '0' AND '9' OR lower(text[p+1]) BETWEEN 'a' AND 'z')
+       |      AND (p = n - 1 OR NOT (text[p+2] BETWEEN '0' AND '9' OR lower(text[p+2]) BETWEEN 'a' AND 'z'))) AS lasts
+       |  FROM bld),
+       |tk AS (SELECT doc_id,
+       |    CAST(unnest(range(0, len(starts))) AS INT) AS ti,
+       |    CAST(unnest(starts) AS INT) AS tstart,
+       |    CAST(unnest(lasts) + 1 AS INT) AS tend
+       |  FROM tkb),
+       |gs0 AS (SELECT doc_id, "start" AS s, "end" AS e,
+       |    CASE CAST(((concept_id - 100003) // 16) % 3 AS INT)
+       |      WHEN 0 THEN 'finding' WHEN 1 THEN 'procedure'
+       |      ELSE 'body structure' END AS cls
+       |  FROM read_parquet('$ExportDir/$goldT/*.parquet')),
+       |gsp AS (SELECT doc_id, s, e, cls,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY s, e, cls) AS ord
+       |  FROM gs0),
+       |gli AS (SELECT g.doc_id, g.cls, g.ord,
+       |    len(list_filter(t.starts, x -> x < g.s)) AS li,
+       |    len(list_filter(t.starts, x -> x < g.e)) AS ri
+       |  FROM gsp g JOIN tkb t USING (doc_id)),
+       |lab AS (SELECT tk.doc_id, tk.ti, tk.tstart, tk.tend,
+       |    CASE WHEN tk.ti = gl.li THEN 'B-' || gl.cls ELSE 'I-' || gl.cls END AS label,
+       |    row_number() OVER (PARTITION BY tk.doc_id, tk.ti ORDER BY gl.ord DESC) AS rn
+       |  FROM tk JOIN gli gl ON tk.doc_id = gl.doc_id
+       |    AND (tk.ti = gl.li OR (tk.ti > gl.li AND tk.ti < gl.ri)))""".stripMargin
 
   /** Distributed pairwise-F1 gate (metric M7 / BASELINE.json line 1).
     * The mention-level pair universe grows superlinearly with the corpus;

@@ -414,6 +414,53 @@ object PipelineQueries {
              |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
              |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-             |FROM g GROUP BY user_id, sid""".stripMargin))
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // F7 offset fix under duplicate-space deletion (data.py:60-86
+    // fix_annotation; <br>→" " at 3rd Place/src/document.py:93): double
+    // spaces are injected deterministically ('e ' → 'e  ', identical
+    // literal replace in both engines), spans derived by arithmetic, then
+    // OffsetFix shifts them into squeezed coordinates. The ENGINE uses the
+    // prefix-collapse closed form (three codegen'd expressions per
+    // offset); the ORACLE re-derives the reference's actual construction —
+    // the positional mark list (spaces following spaces) counted at or
+    // before each offset — so the two formulations check each other. The
+    // `term` column re-slices the squeezed text at the adjusted offsets:
+    // equality is the end-to-end witness the shift landed on the same
+    // chars.
+    QueryDef("offset_fix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("text", expr("replace(text, 'e ', 'e  ')"))
+          .filter(length(col("text")) >= 30)
+        val spans = d.select(col("doc_id"), length(col("text")).as("n"),
+            explode(expr("sequence(0, 7)")).as("i"))
+          .withColumn("start", (col("i") * 37 + 11) % (col("n") - 24))
+          .withColumn("end",
+            least(col("start") + 4 + (col("i") * 5) % 13, col("n") - 1))
+          .withColumn("cls", concat(lit("C"), col("i") % 3))
+          .drop("n")
+        graft.operators.OffsetFix.fixSpans(d, spans)
+          .select(col("doc_id"), col("i"), col("cls"),
+            col("new_start"), col("new_end"), col("term"))
+      },
+      Some("""WITH d AS (SELECT doc_id, replace(text, 'e ', 'e  ') AS t
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, t, length(t) AS n,
+             |    list_filter(range(1, length(t)),
+             |      p -> t[p+1] = ' ' AND t[p] = ' ') AS marks
+             |  FROM d WHERE length(t) >= 30),
+             |sp AS (SELECT doc_id, t, n, marks, CAST(i AS INT) AS i,
+             |    (i*37 + 11) % (n - 24) AS s,
+             |    least((i*37 + 11) % (n - 24) + 4 + (i*5) % 13, n - 1) AS e
+             |  FROM d2 CROSS JOIN range(0, 8) r(i)),
+             |adj AS (SELECT doc_id, i, 'C' || CAST(i % 3 AS VARCHAR) AS cls,
+             |    CAST(s - len(list_filter(marks, m -> m <= s)) AS INT) AS new_start,
+             |    CAST(e - len(list_filter(marks, m -> m <= e)) AS INT) AS new_end,
+             |    regexp_replace(t, ' {2,}', ' ', 'g') AS t2
+             |  FROM sp)
+             |SELECT doc_id, i, cls, new_start, new_end,
+             |  array_slice(t2, new_start + 1, new_end) AS term
+             |FROM adj""".stripMargin))
   )
 }

@@ -505,6 +505,109 @@ object RelationalQueries {
              |  round(avg(CASE WHEN list_contains(cand[1:5], CAST(concept_id AS VARCHAR)) THEN 1.0 ELSE 0.0 END), 4) AS acc_at_5,
              |  round(avg(CASE WHEN list_contains(cand[1:10], CAST(concept_id AS VARCHAR)) THEN 1.0 ELSE 0.0 END), 4) AS acc_at_10,
              |  round(avg(CASE WHEN list_contains(cand, CAST(concept_id AS VARCHAR)) THEN 1.0 ELSE 0.0 END), 4) AS acc_at_20
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // G3 shortest-path distances (find_path, snomed_graph.py:284-320):
+    // frontier BFS down the orders div-8 tree from its roots; first-visit
+    // level IS the min distance. Oracle: recursive CTE + min(dist).
+    QueryDef("graph_shortest_path",
+      (s, dir) => {
+        implicit val sp = s
+        val edges = t(s, dir, "orders")
+          .filter(col("o_orderkey") >= 8)
+          .select(col("o_orderkey").as("child"),
+            expr("o_orderkey div 8").as("parent"))
+        val roots = edges.filter(col("parent") < 8)
+          .select(col("parent").as("root")).distinct()
+        graft.operators.Graph.shortestPaths(edges, roots)
+          .select(col("root"), col("node"), col("dist"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT o_orderkey AS child, o_orderkey // 8 AS parent
+             |  FROM orders WHERE o_orderkey >= 8),
+             |r AS (SELECT DISTINCT parent AS root FROM e WHERE parent < 8),
+             |p(root, node, dist) AS (
+             |  SELECT root, child, 1 FROM e JOIN r ON e.parent = r.root
+             |  UNION
+             |  SELECT p.root, e.child, p.dist + 1 FROM p JOIN e ON p.node = e.parent)
+             |SELECT root, node, min(dist) AS dist FROM p GROUP BY root, node""".stripMargin)),
+
+    // G3 neighbourhood (get_neighbourhood, snomed_graph.py:258-282):
+    // nodes within 3 UNDIRECTED hops of each root, root excluded — BFS
+    // over the symmetrized edge set. Oracle: recursive CTE bounded by the
+    // step budget, min(dist) per (root, node).
+    QueryDef("graph_neighbourhood",
+      (s, dir) => {
+        implicit val sp = s
+        val edges = t(s, dir, "orders")
+          .filter(col("o_orderkey") >= 8)
+          .select(col("o_orderkey").as("child"),
+            expr("o_orderkey div 8").as("parent"))
+        val roots = edges.filter(col("child") >= 64 && col("child") < 72)
+          .select(col("child").as("root")).distinct()
+        graft.operators.Graph.neighbourhood(edges, roots, steps = 3)
+          .select(col("root"), col("node"), col("dist"))
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT o_orderkey AS child, o_orderkey // 8 AS parent
+             |  FROM orders WHERE o_orderkey >= 8),
+             |e AS (SELECT child, parent FROM e0
+             |  UNION ALL SELECT parent, child FROM e0),
+             |r AS (SELECT DISTINCT child AS root FROM e0
+             |  WHERE child >= 64 AND child < 72),
+             |p(root, node, dist) AS (
+             |  SELECT root, child, 1 FROM e JOIN r ON e.parent = r.root
+             |  UNION
+             |  SELECT p.root, e.child, p.dist + 1 FROM p JOIN e ON p.node = e.parent
+             |  WHERE p.dist < 3)
+             |SELECT root, node, min(dist) AS dist FROM p
+             |WHERE node <> root GROUP BY root, node""".stripMargin)),
+
+    // S7 GML round-trip (nx.write_gml/read_gml, snomed_graph.py:322-331,
+    // 360-371): nodes+edges → single-line-record GML text → parse back —
+    // entirely through the text sink/source, ids destringized to Long.
+    // Labels embed '"' and '&' so the entity escaping is on the verified
+    // path. Oracle re-derives the joined result straight from orders: a
+    // hash mismatch means the serialization dropped or mangled something.
+    QueryDef("gml_roundtrip",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+        val nodes = o.select(col("o_orderkey").as("id"),
+          concat(lit("order \""), col("o_orderpriority"), lit("\" & co"))
+            .as("label"))
+        val edges = o.filter(col("o_orderkey") >= 8)
+          .select(col("o_orderkey").as("source"),
+            expr("o_orderkey div 8").as("target"),
+            col("o_orderstatus").as("etype"))
+        val path = java.nio.file.Files
+          .createTempDirectory("gml_rt").toString + "/graph.gml"
+        graft.sources.Gml.write(nodes, edges, path)
+        val (rtNodes, rtEdges) = graft.sources.Gml.read(s, path)
+        rtEdges.join(rtNodes.withColumnRenamed("id", "source"), "source")
+          .select(col("source"), col("target"), col("etype"), col("label"))
+      },
+      Some("""SELECT o_orderkey AS source, o_orderkey // 8 AS target,
+             |  o_orderstatus AS etype,
+             |  'order "' || o_orderpriority || '" & co' AS label
+             |FROM orders WHERE o_orderkey >= 8 AND o_orderkey < 20000""".stripMargin)),
+
+    // F20 JSON synonym-dict round-trip (preprocess.py:127-131 json.dump,
+    // data.py:14-18 json.load with int keys): concept→synonyms rows →
+    // JSONL sink → schema'd JSON source → exploded pairs. Oracle reads the
+    // source relation directly, so the JSON encode/decode is what's under
+    // test.
+    QueryDef("json_dict_roundtrip",
+      (s, dir) => {
+        val syn = t(s, dir, "part")
+          .groupBy((col("p_partkey") % 211).as("concept_id"))
+          .agg(sort_array(collect_set(col("p_name"))).as("synonyms"))
+        val path = java.nio.file.Files
+          .createTempDirectory("syn_json").toString + "/syn"
+        graft.sources.Readers.writeSynJson(syn, path)
+        graft.sources.Readers.readSynJson(s, path)
+          .select(col("concept_id"), explode(col("synonyms")).as("synonym"))
+      },
+      Some("""SELECT DISTINCT p_partkey % 211 AS concept_id, p_name AS synonym
+             |FROM part""".stripMargin))
   )
 }

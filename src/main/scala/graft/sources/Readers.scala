@@ -90,6 +90,27 @@ object Readers {
     spark.read.parquet(path).as[DictEntry]
   }
 
+  // ---- F20: JSON synonym-dict sink/source ----
+  /** The reference persists concept→synonyms maps as JSON
+    * (`2nd Place/src/preprocess.py:127-131` json.dump of
+    * {sctid: [synonyms]}, read back at `2nd Place/src/data.py:14-18` with
+    * keys destringized to int). One JSON object per line here —
+    * {"concept_id": N, "synonyms": [...]} — so the sink/source stay
+    * partition-parallel instead of one driver-side map literal. */
+  val synJsonSchema: StructType = StructType(Seq(
+    StructField("concept_id", LongType),
+    StructField("synonyms", ArrayType(StringType))))
+
+  def writeSynJson(syn: DataFrame, path: String, coalesceOne: Boolean = false): Unit = {
+    val out = syn.select(col("concept_id").cast("long"), col("synonyms"))
+    (if (coalesceOne) out.coalesce(1) else out)
+      .write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  /** Explicit schema: inference would scan the data once just to type it. */
+  def readSynJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(synJsonSchema).json(path)
+
   // ---- S6: submission sink — exactly (note_id, start, end, concept_id) ----
   def writeSubmission(pred: DataFrame, path: String, coalesceOne: Boolean = false): Unit = {
     val out = pred.select(col("doc_id").as("note_id"), col("start"), col("end"),

@@ -1,0 +1,186 @@
+package graft
+
+import graft.model.{Doc, DocSpan}
+import graft.operators.{Bio, Graph, OffsetFix}
+import graft.sources.{Gml, Readers}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-5 additions: BIO align/decode (C4/C5), the GML and
+  * JSON round-trips (S7/F20), the offset fix (F7), and shortest-path /
+  * neighbourhood BFS (G3). Each Spark operator is checked against a
+  * literal in-memory transcription of the reference Python. */
+class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def doc(id: String, text: String) =
+    Doc(id, Seq(DocSpan("text", text, "", 0)))
+
+  // ---- literal get_labels transcription (2nd Place/src/data.py:43-53) ----
+  private def getLabelsRef(starts: IndexedSeq[Int],
+                           spans: Seq[(Int, Int, String)]): Array[String] = {
+    val labels = Array.fill(starts.length)("O")
+    for ((s, e, l) <- spans.sorted) {
+      def bl(v: Int) = { var lo = 0; var hi = starts.length
+        while (lo < hi) { val m = (lo + hi) >>> 1; if (starts(m) < v) lo = m + 1 else hi = m }
+        lo }
+      val li = bl(s); val ri = bl(e)
+      if (li < labels.length) {
+        labels(li) = s"B-$l"
+        for (i <- (li + 1) until math.min(ri, labels.length)) labels(i) = s"I-$l"
+      }
+    }
+    labels
+  }
+
+  test("C4 bioLabels matches the get_labels transcription, incl. overwrites") {
+    val text = "acute flank pain, no fever today. stable vitals noted"
+    // spans: overlapping + nested + one starting past the last token start
+    val spans = Seq(
+      (0, 16, "finding"),            // acute flank pain
+      (6, 16, "procedure"),          // later span overwrites: flank pain
+      (22, 27, "finding"),           // fever
+      (34, 47, "body structure"),    // stable vitals
+      (53, 54, "finding"))           // past last token start ("noted" starts at 48): li beyond -> B lands on no token? starts at 53 < none
+    val docs = spark.createDataset(Seq(doc("d1", text)))
+    val spanDf = spans.map { case (s, e, c) => ("d1", s, e, c) }
+      .toDF("doc_id", "start", "end", "cls")
+    val got = Bio.bioLabels(docs, spanDf).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(_._1)
+    val toks = graft.functions.TextFns.tokensWithOffsets(text)
+    val want = getLabelsRef(toks.map(_._2), spans)
+    assert(got.map(_._4).toSeq == want.toSeq)
+    assert(got.map(t => (t._2, t._3)).toSeq == toks.map(t => (t._2, t._3)).toSeq)
+    // the later span really did overwrite
+    assert(want.count(_ == "B-procedure") == 1)
+  }
+
+  test("C4 span with empty token range still writes its B label") {
+    val text = "aa bb cc"
+    val docs = spark.createDataset(Seq(doc("d1", text)))
+    // span [4,4) : li = ri = bisect(starts=[0,3,6], 4) = 2 -> B at token 2
+    val spanDf = Seq(("d1", 4, 4, "x")).toDF("doc_id", "start", "end", "cls")
+    val got = Bio.bioLabels(docs, spanDf).collect()
+      .map(r => (r.getInt(1), r.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq((0, "O"), (1, "O"), (2, "B-x")))
+  }
+
+  // ---- literal join_classes_bio + fix_spans (infer.py:83-125) ----
+  private def fixSpansRef(text: String,
+                          spans: Seq[(Int, Int, String)]): Seq[(Int, Int, String, String)] = {
+    val nonO = spans.filter(_._3 != "O")
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    for ((s, e, c) <- nonO) {
+      res.lastOption match {
+        case Some((sp, ep, cp)) if (s - ep) >= 0 && (s - ep) <= 2 &&
+          cp.startsWith("B") && c.startsWith("I") && cp.drop(2) == c.drop(2) =>
+          res(res.length - 1) = (sp, e, cp)
+        case _ => res += ((s, e, c))
+      }
+    }
+    res.toSeq.map { case (s0, e0, c) =>
+      val t = text.substring(s0, e0)
+      val s = s0 + (t.length - t.dropWhile(_.isWhitespace).length)
+      val e = s + t.trim.length
+      (s, e, text.substring(s, e), c.drop(2))
+    }
+  }
+
+  test("C5 decodeMentions merges B-I runs with gaps <=2 and strips whitespace") {
+    val text = "left knee  pain and some x right elbow swelling end"
+    // token spans with ends extended to include the following char (the
+    // tokenizer-offset shape); I after unmatched I must NOT merge
+    val labeled = Seq(
+      (0, 5, "B-f"),    // "left " ext
+      (5, 10, "I-f"),   // "knee " + double space -> gap test
+      (11, 16, "I-f"),  // " pain" slice has leading ws after merge
+      (17, 21, "O"),
+      (25, 30, "I-g"),  // orphan I: own group, head I never merges
+      (30, 32, "I-g"),  // gap 0 but head is I -> no merge
+      (33, 39, "B-g"),
+      (39, 45, "I-f"),  // class mismatch -> no merge
+      (46, 55, "B-h"))  // extends past text end? text len 52 -> clamp below
+    val clamped = labeled.map { case (s, e, c) => (s, math.min(e, text.length), c) }
+    val docs = spark.createDataset(Seq(doc("d1", text)))
+    val lblDf = clamped.map { case (s, e, c) => ("d1", s, e, c) }
+      .toDF("doc_id", "tstart", "tend", "label")
+    val got = Bio.decodeMentions(docs, lblDf).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = fixSpansRef(text, clamped).sortBy(t => (t._1, t._2))
+    assert(got == want)
+    assert(want.exists(_._3 == "left knee  pain")) // merged across gap 1
+    assert(want.forall { case (s, e, t, _) => !t.startsWith(" ") && !t.endsWith(" ") && e - s == t.length })
+  }
+
+  test("F7 offset fix: closed form equals the cumsum-of-marks reference") {
+    val texts = Seq(
+      "a  bb   c d  ",
+      "  lead", "no doubles here", "x  y", "   ", "ab",
+      "w  x  y  z  w  x  y  z  padpad")
+    for ((tx, di) <- texts.zipWithIndex) {
+      // reference: mark 2nd+ space of each run, cumsum, shift (data.py:60-86)
+      val marks = tx.indices.map(i => if (i > 0 && tx(i) == ' ' && tx(i - 1) == ' ') 1 else 0)
+      val cum = marks.scanLeft(0)(_ + _).tail // cum(i) inclusive of i
+      val docs = Seq((s"d$di", tx)).toDF("doc_id", "text")
+      val spans = tx.indices.flatMap(s => Seq(s))
+        .map(s => (s"d$di", s, math.min(s + 3, tx.length - 1), "c"))
+        .toDF("doc_id", "start", "end", "cls")
+      val got = OffsetFix.fixSpans(docs, spans).collect()
+        .map(r => (r.getAs[Int]("start"), r.getAs[Int]("new_start"), r.getAs[Int]("new_end")))
+      for ((s, ns, ne) <- got) {
+        val e = math.min(s + 3, tx.length - 1)
+        assert(ns == s - cum(s), s"start $s in '$tx'")
+        assert(ne == e - cum(e), s"end $e in '$tx'")
+      }
+    }
+  }
+
+  test("S7 GML round-trip preserves nodes, edges, and escaped labels") {
+    val nodes = Seq((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x"))
+      .toDF("id", "label")
+    val edges = Seq((2L, 1L, "is a"), (3L, 1L, "part \"of\" & more"))
+      .toDF("source", "target", "etype")
+    val dir = java.nio.file.Files.createTempDirectory("gml_spec").toString + "/g.gml"
+    Gml.write(nodes, edges, dir)
+    // single-line records, wrapper present
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.head == "graph [ directed 1" && lines.last == "]")
+    assert(lines.count(_.startsWith("node [ ")) == 3)
+    val (rn, re) = Gml.read(spark, dir)
+    assert(rn.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x")))
+    assert(re.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((2L, 1L, "is a"), (3L, 1L, "part \"of\" & more")))
+  }
+
+  test("F20 JSON synonym dict round-trip") {
+    val syn = Seq((100003L, Seq("acute pain", "pain, acute")),
+      (100019L, Seq("fever"))).toDF("concept_id", "synonyms")
+    val dir = java.nio.file.Files.createTempDirectory("syn_spec").toString + "/s"
+    Readers.writeSynJson(syn, dir)
+    val back = Readers.readSynJson(spark, dir)
+    assert(back.schema == Readers.synJsonSchema)
+    assert(back.collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSet ==
+      Set((100003L, List("acute pain", "pain, acute")), (100019L, List("fever"))))
+  }
+
+  test("G3 shortest paths and neighbourhood on a known graph") {
+    // 1<-2,3; 2<-4,5; 3<-6; 5<-7 (child, parent); plus cross edge 6<-4? keep tree + one diamond: 7<-4 too
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L), (7L, 5L), (7L, 4L))
+      .toDF("child", "parent")
+    val sp = Graph.shortestPaths(edges, Seq(1L).toDF("root")).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(sp == Map(2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 2, 7L -> 3))
+    // undirected 2-hop neighbourhood of 7: {4,5} at 1; {2} at 2 via both parents
+    val nb = Graph.neighbourhood(edges, Seq(7L).toDF("root"), steps = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(nb == Map(4L -> 1, 5L -> 1, 2L -> 2))
+    // steps=1: parents + children only
+    val nb1 = Graph.neighbourhood(edges, Seq(2L).toDF("root"), steps = 1).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(nb1 == Map(1L -> 1, 4L -> 1, 5L -> 1))
+  }
+}
