@@ -161,6 +161,44 @@ object TextFns {
     }
   }
 
+  /** F17 tag-offset arithmetic: start/end indices of `<t>…</t>`-annotated
+    * regions, adjusted into the TAG-STRIPPED text's coordinates — a
+    * faithful transcription of `find_annotation_indices`
+    * (`3rd Place/src/document.py:1014-1058`): scan for the next start tag,
+    * then the next end tag after it, subtracting the cumulative length of
+    * tags already consumed; `includeTags` keeps the reference's alternate
+    * branch (indices into the RAW text, end shifted by one start-tag
+    * length) including its quirk of resuming the start-tag search at the
+    * start tag itself. Malformed input degrades exactly like the
+    * reference: a start tag with no following end tag ends the scan. */
+  def findTagOffsets(annotated: String, startTag: String = "<t>",
+                     endTag: String = "</t>",
+                     includeTags: Boolean = false): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var currentPos = 0
+    var tagAdjustment = 0
+    var done = false
+    while (!done) {
+      val startIndex = annotated.indexOf(startTag, currentPos)
+      if (startIndex == -1) done = true
+      else {
+        val startAdj = if (includeTags) startIndex else startIndex - tagAdjustment
+        currentPos = if (includeTags) startIndex else startIndex + startTag.length
+        val endIndex = annotated.indexOf(endTag, currentPos)
+        if (endIndex == -1) done = true
+        else {
+          val endAdj =
+            if (includeTags) endIndex - startTag.length
+            else endIndex - tagAdjustment - startTag.length
+          tagAdjustment += startTag.length + endTag.length
+          currentPos = endIndex + endTag.length
+          out += ((startAdj, endAdj))
+        }
+      }
+    }
+    out.result()
+  }
+
   /** SimHash over char n-grams: 64-bit sketch whose Hamming distance tracks
     * cosine similarity of the n-gram bags. */
   def simHash64(s: String, ngram: Int = 3): Long =

@@ -461,6 +461,64 @@ object PipelineQueries {
              |  FROM sp)
              |SELECT doc_id, i, cls, new_start, new_end,
              |  array_slice(t2, new_start + 1, new_end) AS term
-             |FROM adj""".stripMargin))
+             |FROM adj""".stripMargin)),
+
+    // F17 tag-offset arithmetic (find_annotation_indices,
+    // 3rd Place/src/document.py:1014-1058): <t>…</t> markers injected
+    // deterministically ('e ' → '<t>e </t>', identical literal replace
+    // in both engines), then the ENGINE transcribes the reference's
+    // sequential scan (find start tag → find end tag → subtract cumulative
+    // tag lengths) while the ORACLE derives the same indices in closed
+    // form from the '<t>'-split parts (window prefix sums + strpos of the
+    // end tag in the following part — valid because the raw corpus is
+    // guarded tag-free, so scan order and split boundaries coincide). The
+    // term column re-slices the TAG-STRIPPED text at the adjusted offsets.
+    QueryDef("tag_offsets",
+      (s, dir) => {
+        import s.implicits._
+        val tagged = tagFreeDocs(s, dir)
+          .select(col("doc_id"),
+            expr("replace(text, 'e ', '<t>e </t>')").as("tagged"))
+          .as[(String, String)]
+        tagged.flatMap { case (id, tx) =>
+          val stripped = tx.replace("<t>", "").replace("</t>", "")
+          graft.functions.TextFns.findTagOffsets(tx).zipWithIndex.map {
+            case ((st, en), k) => (id, k, st, en, stripped.substring(st, en))
+          }
+        }.toDF("doc_id", "k", "start", "end", "term")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    replace(text, 'e ', '<t>e </t>') AS tagged FROM documents),
+             |p AS (SELECT doc_id, string_split(tagged, '<t>') AS parts,
+             |    replace(replace(tagged, '<t>', ''), '</t>', '') AS stripped
+             |  FROM d),
+             |pp AS (SELECT doc_id, parts, stripped,
+             |    CAST(unnest(range(1, len(parts) + 1)) AS INT) AS j,
+             |    unnest(parts) AS part FROM p),
+             |cum AS (SELECT doc_id, parts, stripped, j,
+             |    CAST(sum(length(part)) OVER (PARTITION BY doc_id ORDER BY j) AS INT) AS cl
+             |  FROM pp),
+             |pr AS (SELECT doc_id, stripped, CAST(j - 1 AS INT) AS k,
+             |    cl + (j - 1) * 3 - (j - 1) * 7 AS start_adj,
+             |    CAST(strpos(parts[j + 1], '</t>') AS INT) AS ep
+             |  FROM cum WHERE j <= len(parts) - 1)
+             |SELECT doc_id, k, start_adj AS "start",
+             |  start_adj + ep - 1 AS "end",
+             |  array_slice(stripped, start_adj + 1, start_adj + ep - 1) AS term
+             |FROM pr""".stripMargin))
   )
+
+  /** F17's closed-form oracle requires that every tag in the tagged text is
+    * an injected one — guarded once per sf dir, like the ASCII guard. */
+  private val tagChecked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def tagFreeDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    tagChecked.computeIfAbsent(dir, _ => {
+      val bad = d.filter(col("text").contains("<")).limit(1).count()
+      require(bad == 0, s"documents.text in $dir contains '<' — the " +
+        "tag_offsets closed-form oracle assumes all tags are injected")
+      java.lang.Boolean.TRUE
+    })
+    d
+  }
 }

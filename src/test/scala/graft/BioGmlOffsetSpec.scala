@@ -138,6 +138,25 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("F17 findTagOffsets: stripped-coordinate pairs, includeTags branch, malformed input") {
+    import graft.functions.TextFns.findTagOffsets
+    val t2 = "ab <t>cd</t> ef <t>gh</t>"
+    // stripped = "ab cd ef gh": pairs land exactly on cd / gh
+    assert(findTagOffsets(t2) == Seq((3, 5), (9, 11)))
+    val stripped = t2.replace("<t>", "").replace("</t>", "")
+    assert(findTagOffsets(t2).map { case (s, e) => stripped.substring(s, e) } ==
+      Seq("cd", "gh"))
+    // includeTags: raw start, end shifted by one start-tag length
+    assert(findTagOffsets(t2, includeTags = true) == Seq((3, 5), (16, 18)))
+    // start tag with no end tag ends the scan (reference behavior)
+    assert(findTagOffsets("x <t>ab") == Seq.empty)
+    // stray end tag before the first start tag is ignored
+    assert(findTagOffsets("a</t>b<t>c</t>") == Seq((6, 7)))
+    // nested tags pair outer-start with inner-end, then stop
+    assert(findTagOffsets("<t><t>a</t></t>") == Seq((0, 4)))
+    assert(findTagOffsets("") == Seq.empty)
+  }
+
   test("S7 GML round-trip preserves nodes, edges, and escaped labels") {
     val nodes = Seq((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x"))
       .toDF("id", "label")
@@ -165,6 +184,43 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
     assert(back.schema == Readers.synJsonSchema)
     assert(back.collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSet ==
       Set((100003L, List("acute pain", "pain, acute")), (100019L, List("fever"))))
+  }
+
+  test("F16 SequenceMatcher transcription matches CPython difflib vector-for-vector") {
+    import graft.functions.DiffLib
+    def blocks(a: String, b: String) =
+      new DiffLib.SequenceMatcher(a, b).getMatchingBlocks
+        .map(m => (m.a, m.b, m.size)).toList
+    // expected values generated with CPython 3 difflib.SequenceMatcher(None, a, b)
+    assert(blocks("abcabc", "abcabc") == List((0, 0, 6), (6, 6, 0)))
+    assert(blocks("the quick brown fox", "the quiet brown fox") ==
+      List((0, 0, 7), (9, 9, 10), (19, 19, 0)))
+    // tag-injected echo (the reference's actual use case)
+    assert(blocks("no fever or chills noted", "no <t>fever</t> or <t>chills</t> noted") ==
+      List((0, 0, 3), (3, 6, 5), (8, 15, 4), (12, 22, 6), (18, 32, 6), (24, 38, 0)))
+    // repeated-word salad: tie-breaking on earliest i then j
+    assert(blocks("batch batch batch stream spark", "batch stream batch spark spark") ==
+      List((12, 0, 13), (25, 19, 5), (30, 30, 0)))
+    assert(blocks("", "abc") == List((0, 3, 0)))
+    assert(blocks("abc", "") == List((3, 0, 0)))
+    // autojunk: len(b) >= 200 makes popular chars unable to seed matches —
+    // difflib collapses the interior to two blocks; a transcription
+    // without autojunk returns many more
+    val a6 = "stream value spark the table key table stream scan the key merge the table spark spark table merge table key spark the scan table merge scan the scan scan spark the merge the key value batch spark value key table scan batch key value table scan scan merge stream table key table scan the scan merge row key spark stream"
+    val b6 = { // a6.replace("value", "VALUE", 3) — first three occurrences
+      var s = a6; for (_ <- 1 to 3) s = s.replaceFirst("value", "VALUE"); s
+    }
+    assert(blocks(a6, b6) == List((0, 0, 7), (202, 202, 117), (319, 319, 0)))
+    // echo with prefix drift + tags + a trailing typo
+    assert(blocks("chief complaint: left knee pain for three days, worse at night",
+      "complaint: left <t>knee pain</t> for three days, worse at nite") ==
+      List((6, 0, 16), (22, 19, 9), (31, 32, 28), (61, 60, 1), (62, 62, 0)))
+    // find_matching_sequences wrapper: dummy and zero-length dropped,
+    // match text carried
+    val ms = DiffLib.findMatchingSequences("no fever or chills noted",
+      "no <t>fever</t> or <t>chills</t> noted")
+    assert(ms.map(_._3) == Seq("no ", "fever", " or ", "chills", " noted"))
+    assert(ms.head == ((0, 3), (0, 3), "no "))
   }
 
   test("G3 shortest paths and neighbourhood on a known graph") {
