@@ -20,8 +20,12 @@ import scala.collection.mutable
   * dummy. Parity with real Python difflib is pinned vector-for-vector in
   * BioGmlOffsetSpec (including an autojunk-triggering ≥200-char case).
   *
-  * Per-pair scalar computation (the operator shape is a per-row map) —
-  * distribution comes from the enclosing Dataset, not from this class.
+  * CONTRACT: elements are UTF-16 code units, so parity with CPython (which
+  * matches codepoints) holds exactly for BMP-only text — all of this
+  * engine's ASCII-guarded corpora — and a match boundary can split a
+  * surrogate pair on astral-plane input. Per-pair scalar computation (the
+  * operator shape is a per-row map) — distribution comes from the
+  * enclosing Dataset, not from this class.
   */
 object DiffLib {
 

@@ -36,34 +36,45 @@ object Bio {
     * lands past the last token (possible only if it starts after every
     * token start) is skipped instead of crashing — the reference indexes
     * labels[li] unguarded because its spans always begin on a token. */
+  /** Per-doc cogroup scaffold shared by both directions: doc text keyed by
+    * id against a per-doc row group, `f(docId, text, rows)` applied once
+    * per doc that exists. */
+  private def perDocCogroup[R: org.apache.spark.sql.Encoder, O: org.apache.spark.sql.Encoder](
+      docs: Dataset[Doc], rows: Dataset[R])(key: R => String)(
+      f: (String, String, Iterator[R]) => IterableOnce[O])
+      (implicit spark: SparkSession): Dataset[O] = {
+    import spark.implicits._
+    docs.map(d => (d.doc_id, d.text))
+      .groupByKey(_._1)
+      .cogroup(rows.groupByKey(key)) { (docId, ds, rs) =>
+        ds.toSeq.headOption.iterator.flatMap { case (_, text) =>
+          f(docId, text, rs).iterator
+        }
+      }
+  }
+
   def bioLabels(docs: Dataset[Doc], spans: DataFrame)
                (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val sp = spans.select("doc_id", "start", "end", "cls")
       .as[(String, Int, Int, String)]
-    docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .cogroup(sp.groupByKey(_._1)) { (docId, ds, ss) =>
-        ds.toSeq.headOption.toSeq.flatMap { case (_, text) =>
-          val toks = TextFns.tokensWithOffsets(text)
-          val starts = toks.map(_._2)
-          val labels = Array.fill(toks.length)("O")
-          // spans sorted like Python's list sort: (start, end, cls)
-          val ordered = ss.map { case (_, s, e, c) => (s, e, c) }.toSeq.sorted
-          for ((s, e, c) <- ordered) {
-            val li = bisectLeft(starts, s)
-            val ri = bisectLeft(starts, e)
-            if (li < labels.length) {
-              labels(li) = s"B-$c"
-              var i = li + 1
-              while (i < ri && i < labels.length) { labels(i) = s"I-$c"; i += 1 }
-            }
-          }
-          toks.indices.map(i => (docId, i, toks(i)._2, toks(i)._3, labels(i)))
-        }.iterator
+    perDocCogroup(docs, sp)(_._1) { (docId, text, ss) =>
+      val toks = TextFns.tokensWithOffsets(text)
+      val starts = toks.map(_._2)
+      val labels = Array.fill(toks.length)("O")
+      // spans sorted like Python's list sort: (start, end, cls)
+      val ordered = ss.map { case (_, s, e, c) => (s, e, c) }.toSeq.sorted
+      for ((s, e, c) <- ordered) {
+        val li = bisectLeft(starts, s)
+        val ri = bisectLeft(starts, e)
+        if (li < labels.length) {
+          labels(li) = s"B-$c"
+          var i = li + 1
+          while (i < ri && i < labels.length) { labels(i) = s"I-$c"; i += 1 }
+        }
       }
-      .toDF("doc_id", "ti", "tstart", "tend", "label")
+      toks.indices.map(i => (docId, i, toks(i)._2, toks(i)._3, labels(i)))
+    }.toDF("doc_id", "ti", "tstart", "tend", "label")
   }
 
   /** bisect.bisect_left over a sorted IndexedSeq. */
@@ -83,39 +94,36 @@ object Bio {
   def decodeMentions(docs: Dataset[Doc], labeled: DataFrame)
                     (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // O's are dropped BEFORE the shuffle (the decode drops them first
+    // anyway, infer.py:111, and they are the majority of tokens)
     val lb = labeled.select("doc_id", "tstart", "tend", "label")
+      .filter(org.apache.spark.sql.functions.col("label") =!= "O")
       .as[(String, Int, Int, String)]
-    docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .cogroup(lb.groupByKey(_._1)) { (docId, ds, ls) =>
-        ds.toSeq.headOption.toSeq.flatMap { case (_, text) =>
-          // token spans in sequence order, O's dropped (infer.py:111)
-          val spans = ls.map { case (_, s, e, c) => (s, e, c) }
-            .filter(_._3 != "O").toSeq.sortBy(t => (t._1, t._2))
-          // join_classes_bio: res[-1] mutates end on merge, keeps head cls
-          val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
-          for ((s, e, c) <- spans) {
-            res.lastOption match {
-              case Some((sp, ep, cp)) if {
-                val diff = s - ep
-                (diff == 0 || diff == 1 || diff == 2) &&
-                  cp.startsWith("B") && c.startsWith("I") &&
-                  cp.drop(2) == c.drop(2)
-              } => res(res.length - 1) = (sp, e, cp)
-              case _ => res += ((s, e, c))
-            }
-          }
-          res.map { case (s0, e0, c) =>
-            val t = text.substring(s0, math.min(e0, text.length))
-            val lead = t.length - dropLeadingWs(t)
-            val s = s0 + lead
-            val e = s + trimmedLen(t)
-            (docId, s, e, text.substring(s, e), c.drop(2))
-          }
-        }.iterator
+    perDocCogroup(docs, lb)(_._1) { (docId, text, ls) =>
+      // token spans in sequence order (O's already gone)
+      val spans = ls.map { case (_, s, e, c) => (s, e, c) }
+        .toSeq.sortBy(t => (t._1, t._2))
+      // join_classes_bio: res[-1] mutates end on merge, keeps head cls
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      for ((s, e, c) <- spans) {
+        res.lastOption match {
+          case Some((sp, ep, cp)) if {
+            val diff = s - ep
+            (diff == 0 || diff == 1 || diff == 2) &&
+              cp.startsWith("B") && c.startsWith("I") &&
+              cp.drop(2) == c.drop(2)
+          } => res(res.length - 1) = (sp, e, cp)
+          case _ => res += ((s, e, c))
+        }
       }
-      .toDF("doc_id", "start", "end", "term", "cls")
+      res.map { case (s0, e0, c) =>
+        val t = text.substring(s0, math.min(e0, text.length))
+        val lead = t.length - dropLeadingWs(t)
+        val s = s0 + lead
+        val e = s + trimmedLen(t)
+        (docId, s, e, text.substring(s, e), c.drop(2))
+      }
+    }.toDF("doc_id", "start", "end", "term", "cls")
   }
 
   /** len(t.lstrip()) — Python lstrip drops all leading whitespace. */

@@ -85,7 +85,17 @@ object Graph {
     * the frontier (O(answer) rows, never the closure), `localCheckpoint`
     * per round to cut lineage — the q19/G2 skeleton. */
   def shortestPaths(edges: DataFrame, roots: DataFrame, maxDist: Int = 64)
-                   (implicit spark: SparkSession): DataFrame = {
+                   (implicit spark: SparkSession): DataFrame =
+    bfsDistances(edges, roots, maxDist, truncateOk = false)
+
+  /** Shared BFS core. `truncateOk = false` FAILS LOUDLY if the frontier is
+    * still non-empty at maxDist — a silently truncated distance table would
+    * diverge from the unbounded recursive-CTE oracle and under-report
+    * reachability (no-silent-caps); `truncateOk = true` is the semantic
+    * k-hop bound of [[neighbourhood]]. */
+  private def bfsDistances(edges: DataFrame, roots: DataFrame, maxDist: Int,
+                           truncateOk: Boolean)
+                          (implicit spark: SparkSession): DataFrame = {
     val e = edges.select(col("child"), col("parent")).localCheckpoint()
     val r = roots.select(col("root")).distinct()
     // dist 1: direct children of each root (root→node via parent→child)
@@ -109,6 +119,9 @@ object Graph {
       }
       d += 1
     }
+    require(done || truncateOk,
+      s"shortestPaths: frontier still non-empty at maxDist=$maxDist — " +
+        "the distance table would be silently truncated; raise maxDist")
     acc
   }
 
@@ -124,7 +137,7 @@ object Graph {
     require(steps > 0, "neighbourhood: steps must be > 0")
     val sym = edges.select(col("child"), col("parent"))
       .union(edges.select(col("parent").as("child"), col("child").as("parent")))
-    shortestPaths(sym, roots, maxDist = steps)
+    bfsDistances(sym, roots, maxDist = steps, truncateOk = true)
       .filter(col("node") =!= col("root"))
   }
 

@@ -1519,7 +1519,8 @@ object LinkageQueries {
         }
         val docs = sharedDocs(s, dir)
         val labeled = graft.operators.Bio.bioLabels(docs,
-          sharedGold(s, dir).toDF().withColumn("cls", conceptClsExpr))
+            sharedGold(s, dir).toDF().withColumn("cls", conceptClsExpr))
+          .filter(col("label") =!= "O") // decode drops O's; don't join them
         val docLen = docs.map(d => (d.doc_id, d.text.length))
           .toDF("doc_id", "n")
         val extended = labeled.join(docLen, "doc_id")

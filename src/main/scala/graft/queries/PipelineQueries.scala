@@ -19,17 +19,26 @@ object PipelineQueries {
     * pure-ASCII corpus. Guarded once per sf dir so a future corpus change
     * fails loudly here instead of producing silent oracle drift
     * (ADVICE r3). */
-  private val asciiChecked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def asciiDocs(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus-assumption guard, checked once per (sf dir, guard): runs
+    * `bad` (a predicate selecting VIOLATING rows) and fails loudly if any
+    * row matches, instead of letting a future corpus change silently
+    * drift an oracle built on the assumption. */
+  private val guardChecked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def guardedDocs(s: SparkSession, dir: String, guard: String,
+                          bad: org.apache.spark.sql.Column, msg: String): DataFrame = {
     val d = t(s, dir, "documents")
-    asciiChecked.computeIfAbsent(dir, _ => {
-      val bad = d.filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).limit(1).count()
-      require(bad == 0, s"documents.text in $dir is not pure ASCII — the " +
-        "SQL shingle/poly-hash oracles assume UTF-16 code units == codepoints")
+    guardChecked.computeIfAbsent(s"$guard|$dir", _ => {
+      require(d.filter(bad).limit(1).count() == 0,
+        s"documents.text in $dir $msg")
       java.lang.Boolean.TRUE
     })
     d
   }
+
+  private def asciiDocs(s: SparkSession, dir: String): DataFrame =
+    guardedDocs(s, dir, "ascii", not(col("text").rlike("^[\\x00-\\x7F]*$")),
+      "is not pure ASCII — the SQL shingle/poly-hash oracles assume " +
+        "UTF-16 code units == codepoints")
 
   /** Per-doc simhash signature replayed entirely in SQL: the same word
     * shingles as `Dedup.wordShingles` (positional, duplicates kept), each
@@ -508,17 +517,10 @@ object PipelineQueries {
              |FROM pr""".stripMargin))
   )
 
-  /** F17's closed-form oracle requires that every tag in the tagged text is
-    * an injected one — guarded once per sf dir, like the ASCII guard. */
-  private val tagChecked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def tagFreeDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    tagChecked.computeIfAbsent(dir, _ => {
-      val bad = d.filter(col("text").contains("<")).limit(1).count()
-      require(bad == 0, s"documents.text in $dir contains '<' — the " +
-        "tag_offsets closed-form oracle assumes all tags are injected")
-      java.lang.Boolean.TRUE
-    })
-    d
-  }
+  /** F17's closed-form oracle requires that every tag in the tagged text
+    * is an injected one. */
+  private def tagFreeDocs(s: SparkSession, dir: String): DataFrame =
+    guardedDocs(s, dir, "tagfree", col("text").contains("<"),
+      "contains '<' — the tag_offsets closed-form oracle assumes all " +
+        "tags are injected")
 }

@@ -22,6 +22,12 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** One temp root per JVM for the round-trip sinks (GML/JSON): the writers
+    * use Overwrite, so bench repetitions reuse the same paths instead of
+    * leaking a fresh directory per execution. */
+  private lazy val rtRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_rt").toString
+
   val defs: Seq[QueryDef] = Seq(
 
     // A-class aggregation (SURVEY §2.4 A3/A12 analog): group-agg with
@@ -579,8 +585,7 @@ object RelationalQueries {
           .select(col("o_orderkey").as("source"),
             expr("o_orderkey div 8").as("target"),
             col("o_orderstatus").as("etype"))
-        val path = java.nio.file.Files
-          .createTempDirectory("gml_rt").toString + "/graph.gml"
+        val path = s"$rtRoot/graph.gml"
         graft.sources.Gml.write(nodes, edges, path)
         val (rtNodes, rtEdges) = graft.sources.Gml.read(s, path)
         rtEdges.join(rtNodes.withColumnRenamed("id", "source"), "source")
@@ -601,8 +606,7 @@ object RelationalQueries {
         val syn = t(s, dir, "part")
           .groupBy((col("p_partkey") % 211).as("concept_id"))
           .agg(sort_array(collect_set(col("p_name"))).as("synonyms"))
-        val path = java.nio.file.Files
-          .createTempDirectory("syn_json").toString + "/syn"
+        val path = s"$rtRoot/syn_json"
         graft.sources.Readers.writeSynJson(syn, path)
         graft.sources.Readers.readSynJson(s, path)
           .select(col("concept_id"), explode(col("synonyms")).as("synonym"))

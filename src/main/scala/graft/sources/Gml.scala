@@ -23,11 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Gml {
 
+  /** `&` first on the way in, last on the way out; newlines/CRs become
+    * numeric entities (nx writes non-printables as `&#NN;`) — without this
+    * a label containing a line break would split its record across
+    * physical lines and silently mis-parse on read. */
   private def esc(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, lit("&"), lit("&amp;")), lit("\""), lit("&quot;"))
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, lit("&"), lit("&amp;")), lit("\""), lit("&quot;")),
+      lit("\n"), lit("&#10;")), lit("\r"), lit("&#13;"))
 
   private def unesc(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, lit("&#13;"), lit("\r")), lit("&#10;"), lit("\n")),
+      lit("&quot;"), lit("\"")), lit("&amp;"), lit("&"))
 
   /** Serialize nodes(id: Long, label: String) + edges(source: Long,
     * target: Long, etype: String) as GML text under `path`. Node lines are

@@ -158,8 +158,8 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("S7 GML round-trip preserves nodes, edges, and escaped labels") {
-    val nodes = Seq((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x"))
-      .toDF("id", "label")
+    val nodes = Seq((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x"),
+      (4L, "line1\nline2\rcr & \"q\"")).toDF("id", "label")
     val edges = Seq((2L, 1L, "is a"), (3L, 1L, "part \"of\" & more"))
       .toDF("source", "target", "etype")
     val dir = java.nio.file.Files.createTempDirectory("gml_spec").toString + "/g.gml"
@@ -167,10 +167,11 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
     // single-line records, wrapper present
     val lines = spark.read.text(dir).collect().map(_.getString(0))
     assert(lines.head == "graph [ directed 1" && lines.last == "]")
-    assert(lines.count(_.startsWith("node [ ")) == 3)
+    assert(lines.count(_.startsWith("node [ ")) == 4) // newline label stays one record
     val (rn, re) = Gml.read(spark, dir)
     assert(rn.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
-      Set((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x")))
+      Set((1L, "plain"), (2L, "with \"quotes\""), (3L, "amp & both \" x"),
+        (4L, "line1\nline2\rcr & \"q\"")))
     assert(re.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
       Set((2L, 1L, "is a"), (3L, 1L, "part \"of\" & more")))
   }
@@ -238,5 +239,15 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
     val nb1 = Graph.neighbourhood(edges, Seq(2L).toDF("root"), steps = 1).collect()
       .map(r => (r.getLong(1), r.getInt(2))).toMap
     assert(nb1 == Map(1L -> 1, 4L -> 1, 5L -> 1))
+    // shortestPaths fails LOUDLY instead of silently truncating the table
+    // when the graph is deeper than maxDist (neighbourhood's bound is
+    // semantic and still truncates quietly)
+    val chain = (2L to 6L).map(i => (i, i - 1)).toDF("child", "parent")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(chain, Seq(1L).toDF("root"), maxDist = 3).collect()
+    }
+    assert(ex.getMessage.contains("maxDist"))
+    assert(Graph.neighbourhood(chain, Seq(1L).toDF("root"), steps = 2)
+      .count() == 2)
   }
 }
