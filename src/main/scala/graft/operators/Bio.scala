@@ -29,13 +29,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Bio {
 
-  /** C4. `spans` columns: (doc_id, start, end, cls). Output: one row per
-    * token — (doc_id, ti, tstart, tend, label) with label ∈
-    * {"O", "B-<cls>", "I-<cls>"}. Tokens are TextFns.tokensWithOffsets
-    * (maximal alnum runs, original-offset [start,end)). A span whose li
-    * lands past the last token (possible only if it starts after every
-    * token start) is skipped instead of crashing — the reference indexes
-    * labels[li] unguarded because its spans always begin on a token. */
   /** Per-doc cogroup scaffold shared by both directions: doc text keyed by
     * id against a per-doc row group, `f(docId, text, rows)` applied once
     * per doc that exists. */
@@ -53,6 +46,13 @@ object Bio {
       }
   }
 
+  /** C4. `spans` columns: (doc_id, start, end, cls). Output: one row per
+    * token — (doc_id, ti, tstart, tend, label) with label ∈
+    * {"O", "B-<cls>", "I-<cls>"}. Tokens are TextFns.tokensWithOffsets
+    * (maximal alnum runs, original-offset [start,end)). A span whose li
+    * lands past the last token (possible only if it starts after every
+    * token start) is skipped instead of crashing — the reference indexes
+    * labels[li] unguarded because its spans always begin on a token. */
   def bioLabels(docs: Dataset[Doc], spans: DataFrame)
                (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -88,11 +88,15 @@ object Graph {
                    (implicit spark: SparkSession): DataFrame =
     bfsDistances(edges, roots, maxDist, truncateOk = false)
 
-  /** Shared BFS core. `truncateOk = false` FAILS LOUDLY if the frontier is
-    * still non-empty at maxDist — a silently truncated distance table would
-    * diverge from the unbounded recursive-CTE oracle and under-report
-    * reachability (no-silent-caps); `truncateOk = true` is the semantic
-    * k-hop bound of [[neighbourhood]]. */
+  /** Shared BFS core. `truncateOk = false` FAILS LOUDLY when nodes beyond
+    * maxDist were actually cut off — a silently truncated distance table
+    * would diverge from the unbounded recursive-CTE oracle and
+    * under-report reachability (no-silent-caps). A non-empty frontier AT
+    * maxDist is fine as long as it has no unseen successors (the deepest
+    * node sitting exactly on the bound is a complete result), so the check
+    * probes one expansion past the bound instead of frontier emptiness.
+    * `truncateOk = true` is the semantic k-hop bound of
+    * [[neighbourhood]]. */
   private def bfsDistances(edges: DataFrame, roots: DataFrame, maxDist: Int,
                            truncateOk: Boolean)
                           (implicit spark: SparkSession): DataFrame = {
@@ -119,9 +123,15 @@ object Graph {
       }
       d += 1
     }
-    require(done || truncateOk,
-      s"shortestPaths: frontier still non-empty at maxDist=$maxDist — " +
-        "the distance table would be silently truncated; raise maxDist")
+    if (!done && !truncateOk) {
+      val cutOff = !frontier.join(e, frontier("node") === e("parent"))
+        .select(frontier("root"), e("child").as("node"))
+        .join(acc, Seq("root", "node"), "left_anti")
+        .isEmpty
+      require(!cutOff,
+        s"shortestPaths: nodes remain beyond maxDist=$maxDist — the " +
+          "distance table would be silently truncated; raise maxDist")
+    }
     acc
   }
 

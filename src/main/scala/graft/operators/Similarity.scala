@@ -134,11 +134,17 @@ object Similarity {
       .toDF("vec_id", "cls", "sig")
   }
 
+  /** `sigsOverride` lets a caller that already materialized
+    * [[hyperplaneSigs]] (e.g. the ann_lsh Verify export) share that one
+    * computation instead of the signature stage running twice; it must be
+    * the output of `hyperplaneSigs(emb, nPlanes, classCol)` for the same
+    * arguments. */
   def lshTopK(emb: DataFrame, k: Int = 5, nPlanes: Int = 16, chunkBits: Int = 4,
-              classCol: Option[String] = None)
+              classCol: Option[String] = None,
+              sigsOverride: Option[DataFrame] = None)
              (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val sigs = hyperplaneSigs(emb, nPlanes, classCol)
+    val sigs = sigsOverride.getOrElse(hyperplaneSigs(emb, nPlanes, classCol))
     val nChunks = nPlanes / chunkBits
     // bucket rows carry ids only — never the vectors
     val chunked = sigs.select(col("vec_id"),

@@ -201,9 +201,15 @@ object PipelineQueries {
         implicit val sp = s
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
-        LinkageQueries.exportTable(
-          Similarity.hyperplaneSigs(e, classCol = Some("label")), "lsh_sigs")
-        Similarity.lshTopK(e, k = 5, classCol = Some("label"))
+        // with exports on, the written parquet IS the materialized
+        // signature stage — read it back instead of computing sigs twice
+        val sigs = if (LinkageQueries.exportEnabled) {
+          LinkageQueries.exportTable(
+            Similarity.hyperplaneSigs(e, classCol = Some("label")), "lsh_sigs")
+          Some(s.read.parquet(s"${LinkageQueries.ExportDir}/lsh_sigs"))
+        } else None
+        Similarity.lshTopK(e, k = 5, classCol = Some("label"),
+          sigsOverride = sigs)
       },
       Some(s"""WITH sg AS (SELECT vec_id, cls, sig
              |  FROM read_parquet('${LinkageQueries.ExportDir}/lsh_sigs/*.parquet')),

@@ -67,10 +67,16 @@ object EventStream {
     // reads; one job yields both the sentinel timestamp and the row count
     // used by the single-batch assertion below
     val stats = ev.agg(max(col("ts").cast("timestamp")), count(lit(1)),
-      countDistinct(col("user_id"))).head()
+      countDistinct(col("user_id")),
+      count(when(col("user_id").isNull, 1))).head()
     val nEvents = stats.getLong(1)
     if (nEvents == 0) // empty source: no sessions (guard: max(ts) is null)
       return spark.emptyDataset[SessionOut].toDF()
+    // NULL user_id would desync the two user counts below (countDistinct
+    // excludes NULL, the sentinel distinct() keeps it) and silently encode
+    // as 0L through the primitive-Long EvRow — fail loudly instead
+    require(stats.getLong(3) == 0,
+      s"sessionize: ${stats.getLong(3)} events carry NULL user_id")
     val nUsers = stats.getLong(2)
     val maxTs = stats.getTimestamp(0).getTime
     val sentinelDir = java.nio.file.Files

@@ -152,14 +152,18 @@ object Scaling {
         val ta = if (pipOnly) 0.0
           else withSession(k)(s => time(annotateJob(s, dir, annDocs)))._1
         val tp = withSession(k)(s => time(pipelineJob(s, dir, pipDocs)))._1
-        println(f"[scaling-sample] rep$r local[$k]: annotate $ta%.1f s, pipeline $tp%.1f s")
+        val annStr = if (pipOnly) "" else f", annotate $ta%.1f s"
+        println(f"[scaling-sample] rep$r local[$k]: pipeline $tp%.1f s$annStr")
         (k, ta, tp)
       }
     }
+    // annotate lines/columns are omitted in pipeline-only mode (annDocs=0)
+    // instead of reporting 0.0 s rows and 0/0 = NaN efficiencies
+    def annPart(t: Double): String = if (pipOnly) "" else f", annotate $t%.1f s"
     val meas = levels.map { k =>
       val ks = samples.filter(_._1 == k)
       val m = Meas(k, ks.map(_._2).min, ks.map(_._3).min)
-      println(f"[scaling] local[$k]: annotate ${m.tAnn}%.1f s, pipeline ${m.tPip}%.1f s")
+      println(f"[scaling] local[$k]: pipeline ${m.tPip}%.1f s${annPart(m.tAnn)}")
       k -> m
     }.toMap
 
@@ -169,11 +173,16 @@ object Scaling {
     if (!Seq(4, 8, 16, 32).forall(meas.contains)) {
       // partial ladder (targeted re-run): raw lines only
       meas.toSeq.sortBy(_._1).foreach { case (k, m) =>
-        println(f"[scaling-partial] local[$k]: annotate ${m.tAnn}%.1f s, pipeline ${m.tPip}%.1f s")
+        println(f"[scaling-partial] local[$k]: pipeline ${m.tPip}%.1f s${annPart(m.tAnn)}")
       }
       return
     }
 
+    val annRow = if (pipOnly) "" else
+      // double leading pipe: the first is the stripMargin margin char
+      f"\n|| gazetteer annotate (fused probe) | ${meas(4).tAnn}%.1f | ${meas(16).tAnn}%.1f | ${eff(4, 16, _.tAnn)}%.3f | ${meas(8).tAnn}%.1f | ${meas(32).tAnn}%.1f | ${eff(8, 32, _.tAnn)}%.3f |"
+    val annThroughput = if (pipOnly) "" else
+      f" annotate ${annDocs / meas(32).tAnn}%.0f docs/s at local[32] (${annDocs / meas(4).tAnn}%.0f at local[4]);"
     val md =
       f"""
          |## Measured scaling — same job, same parquet input, N vs 4N threads
@@ -186,12 +195,10 @@ object Scaling {
          |read from storage (the spark-submit/Iceberg deployment shape).
          |
          || Job | t@4 (s) | t@16 (s) | eff 4→16 | t@8 (s) | t@32 (s) | eff 8→32 |
-         ||---|---|---|---|---|---|---|
-         || gazetteer annotate (fused probe) | ${meas(4).tAnn}%.1f | ${meas(16).tAnn}%.1f | ${eff(4, 16, _.tAnn)}%.3f | ${meas(8).tAnn}%.1f | ${meas(32).tAnn}%.1f | ${eff(8, 32, _.tAnn)}%.3f |
+         ||---|---|---|---|---|---|---|$annRow
          || full linkage pipeline | ${meas(4).tPip}%.1f | ${meas(16).tPip}%.1f | ${eff(4, 16, _.tPip)}%.3f | ${meas(8).tPip}%.1f | ${meas(32).tPip}%.1f | ${eff(8, 32, _.tPip)}%.3f |
          |
-         |Throughput: annotate ${annDocs / meas(32).tAnn}%.0f docs/s at local[32]
-         |(${annDocs / meas(4).tAnn}%.0f at local[4]); pipeline
+         |Throughput:$annThroughput pipeline
          |${pipDocs / meas(32).tPip}%.0f docs/s at local[32].
          |Reference single-node throughput: 1st-place inference ≈ 0.083 docs/s
          |(5 docs/min, `1st Place/README.md:20`).

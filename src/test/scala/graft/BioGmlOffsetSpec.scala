@@ -247,6 +247,10 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
       Graph.shortestPaths(chain, Seq(1L).toDF("root"), maxDist = 3).collect()
     }
     assert(ex.getMessage.contains("maxDist"))
+    // ...but a deepest node sitting EXACTLY at maxDist is a complete
+    // result, not a truncation
+    assert(Graph.shortestPaths(chain, Seq(1L).toDF("root"), maxDist = 5)
+      .count() == 5)
     assert(Graph.neighbourhood(chain, Seq(1L).toDF("root"), steps = 2)
       .count() == 2)
   }
