@@ -65,6 +65,23 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       (2L, ts(5), ts(5), 1L, 16.0)))
   }
 
+  test("sessionize fails loudly on NULL user_id instead of desyncing counts") {
+    val base = 1700000000000L
+    val dir = java.nio.file.Files.createTempDirectory("sess_null").toString
+    Seq(
+      (1L, new java.sql.Timestamp(base), java.lang.Long.valueOf(1L), "click", 1.0, ""),
+      (2L, new java.sql.Timestamp(base + 60000L), null.asInstanceOf[java.lang.Long], "view", 2.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events_out")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/events_out"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ex = intercept[IllegalArgumentException] {
+      EventStream.sessionize(spark, dir)
+    }
+    assert(ex.getMessage.contains("NULL user_id"))
+  }
+
   test("sessionize equals the batch gaps-and-islands assignment on real events") {
     val sfDir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.expressions.Window
