@@ -494,7 +494,7 @@ object PipelineQueries {
         val tagged = tagFreeDocs(s, dir)
           .select(col("doc_id"),
             expr("replace(text, 'e ', '<t>e </t>')").as("tagged"))
-          .as[(String, String)]
+          .as[(Long, String)]
         tagged.flatMap { case (id, tx) =>
           val stripped = tx.replace("<t>", "").replace("</t>", "")
           graft.functions.TextFns.findTagOffsets(tx).zipWithIndex.map {

@@ -19,21 +19,34 @@ import duckdb
 
 
 def canon_cell(v):
+    """Canonicalize a cell to "<type-bucket>:<value>".
+
+    The type bucket (b=bool, i=int, f=float/decimal, s=str, y=bytes,
+    [..]=list) is part of the canonical form so that an engine<->oracle
+    type divergence (e.g. STRING '0' vs BIGINT 0) fails locally the same
+    way it fails the driver's type-aware hash. NULL stays typeless.
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}"
+            return "f:NaN"
+        return f"f:{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.6f}"
+            return f"f:{float(v):.6f}"
     except Exception:
         pass
-    return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return f"y:{bytes(v).hex()}"
+    return f"s:{v}"
 
 
 def canon_rows(cols, rows):
@@ -43,7 +56,21 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def selftest():
+    """Prove the canonical form is type-aware: each mistyped pair differs."""
+    assert canon_cell("0") != canon_cell(0), "str vs int must differ"
+    assert canon_cell(1.0) != canon_cell(1), "float vs int must differ"
+    assert canon_cell(True) != canon_cell(1), "bool vs int must differ"
+    assert canon_cell(["1"]) != canon_cell([1]), "list elem types must differ"
+    assert canon_cell(None) == "NULL"
+    assert canon_cell(1.0000004) == canon_cell(1.0000001), "6dp float canon"
+    print("selftest OK")
+    return 0
+
+
 def main():
+    if sys.argv[1] == "--selftest":
+        return selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     fails = 0
