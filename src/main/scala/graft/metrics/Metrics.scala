@@ -102,20 +102,27 @@ object Metrics {
     // is unique per side — a duplicated key would multiply rows through the
     // inner join and silently skew accuracy@k. Enforced fail-fast (ADVICE
     // r3): cheap dimension-scale aggregations, loud error over silent drift.
-    def assertUnique(df: DataFrame, side: String): Unit = {
-      val dup = df.groupBy(col("note_id"), col("start"))
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        s"alignAccuracy: $side has duplicate (note_id, start) keys — " +
-          "positional alignment undefined")
-    }
-    assertUnique(gt, "gt")
-    assertUnique(pred, "pred")
-    val keys = gt.select(col("note_id"), col("start"))
-      .intersect(pred.select(col("note_id"), col("start")))
-    val g = gt.join(keys, Seq("note_id", "start"), "left_semi")
-    val p = pred.join(keys, Seq("note_id", "start"), "left_semi")
-    val aligned = g.join(p, Seq("note_id", "start"))
+    // r6 (guide §1.2): the two per-side duplicate probes were two driver
+    // actions each re-deriving its input; one union-tagged aggregation
+    // checks both sides in a single job. Loud failure semantics unchanged.
+    val dupRow = gt.select(col("note_id"), col("start"), lit("gt").as("side"))
+      .unionByName(pred.select(col("note_id"), col("start"), lit("pred").as("side")))
+      .groupBy(col("side"), col("note_id"), col("start"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(when(col("c") > 1 && col("side") === "gt", 1).otherwise(0)).as("gt_dup"),
+        max(when(col("c") > 1 && col("side") === "pred", 1).otherwise(0)).as("pred_dup"))
+      .head()
+    require(dupRow.getInt(0) == 0,
+      "alignAccuracy: gt has duplicate (note_id, start) keys — " +
+        "positional alignment undefined")
+    require(dupRow.getInt(1) == 0,
+      "alignAccuracy: pred has duplicate (note_id, start) keys — " +
+        "positional alignment undefined")
+    // r6: with (note_id, start) unique per side (just asserted), the
+    // reference's intersect-keys + two semi-filters + align collapses to a
+    // single inner join on the key — identical surviving rows, one shuffle
+    // instead of four (guide §2.4 "remove shuffles outright").
+    val aligned = gt.join(pred, Seq("note_id", "start"))
       .withColumn("cands", split(col("top_concept_id"), ","))
       .withColumn("truth", col("concept_id").cast("string"))
     def acc(k: Int): org.apache.spark.sql.Column = round(avg(
@@ -127,13 +134,29 @@ object Metrics {
         .otherwise(0.0)), 4).as("acc_at_20"))
   }
 
-  /** M7 pairwise F1 over (a, b) pair sets with a < b pinned by the caller. */
+  /** M7 pairwise F1 over (a, b) pair sets with a < b pinned by the caller.
+    *
+    * ONE action (r6, guide §1.2 "don't compute things twice"): the former
+    * count/count/intersect-count shape ran THREE driver actions, each
+    * re-deriving its input pair universe from scratch (the intersect
+    * re-derived BOTH) — four evaluations of the upstream join for three
+    * numbers. Tagging each side (pred=1, gold=2), unioning, and summing the
+    * tag per distinct pair yields |P| (tag 1 or 3), |G| (2 or 3) and |P∩G|
+    * (3) from a single hash-aggregated pass — same distinct-set semantics,
+    * two upstream evaluations inside one job, one driver barrier. */
   def pairwiseF1(pred: DataFrame, gold: DataFrame): (Double, Double, Double) = {
-    val p = pred.select(col("a"), col("b")).distinct()
-    val g = gold.select(col("a"), col("b")).distinct()
-    val np = p.count().toDouble
-    val ng = g.count().toDouble
-    val ni = p.intersect(g).count().toDouble
+    val tagged = pred.select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"), lit(1).as("s"))
+      .unionByName(gold.select(col("a"), col("b")).distinct()
+        .select(col("a"), col("b"), lit(2).as("s")))
+    val row = tagged.groupBy(col("a"), col("b")).agg(sum(col("s")).as("s"))
+      .agg(
+        count(when(col("s") === 1 || col("s") === 3, 1)).as("np"),
+        count(when(col("s") === 2 || col("s") === 3, 1)).as("ng"),
+        count(when(col("s") === 3, 1)).as("ni")).head()
+    val np = row.getLong(0).toDouble
+    val ng = row.getLong(1).toDouble
+    val ni = row.getLong(2).toDouble
     val prec = if (np == 0) 0.0 else ni / np
     val rec = if (ng == 0) 0.0 else ni / ng
     val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)

@@ -126,6 +126,66 @@ object Bio {
     }.toDF("doc_id", "start", "end", "term", "cls")
   }
 
+  /** Fused C4→C5 chain (r6, guide §1.2 "remove unnecessary passes"): the
+    * bio_decode query formerly ran bioLabels (cogroup #1 over docs+spans),
+    * filtered the O's, joined a doc-length table (a THIRD pass over docs)
+    * to extend token ends one char, then decodeMentions (cogroup #2 over
+    * docs+labels) — two doc shuffles and an extra doc scan for a chain
+    * that is per-doc end to end. This runs label assignment, the +1
+    * token-end extension (capped at text length) and the merge/strip
+    * decode in ONE per-doc cogroup: identical output (token tstarts are
+    * strictly increasing, so decode's (tstart, tend) sort order IS token
+    * order), pinned row-for-row against the unfused chain by BioSpec. */
+  def labelDecodeFused(docs: Dataset[Doc], spans: DataFrame)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sp = spans.select("doc_id", "start", "end", "cls")
+      .as[(String, Int, Int, String)]
+    perDocCogroup(docs, sp)(_._1) { (docId, text, ss) =>
+      val toks = TextFns.tokensWithOffsets(text)
+      val starts = toks.map(_._2)
+      val labels = Array.fill(toks.length)("O")
+      val ordered = ss.map { case (_, s, e, c) => (s, e, c) }.toSeq.sorted
+      for ((s, e, c) <- ordered) {
+        val li = bisectLeft(starts, s)
+        val ri = bisectLeft(starts, e)
+        if (li < labels.length) {
+          labels(li) = s"B-$c"
+          var i = li + 1
+          while (i < ri && i < labels.length) { labels(i) = s"I-$c"; i += 1 }
+        }
+      }
+      // decode sweep over non-O tokens in token (= tstart) order, each
+      // token end extended one char like the bio_decode chain
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var i = 0
+      while (i < toks.length) {
+        val lab = labels(i)
+        if (lab != "O") {
+          val s = toks(i)._2
+          val e = math.min(toks(i)._3 + 1, text.length)
+          res.lastOption match {
+            case Some((sp0, ep, cp)) if {
+              val diff = s - ep
+              (diff == 0 || diff == 1 || diff == 2) &&
+                cp.startsWith("B") && lab.startsWith("I") &&
+                cp.drop(2) == lab.drop(2)
+            } => res(res.length - 1) = (sp0, e, cp)
+            case _ => res += ((s, e, lab))
+          }
+        }
+        i += 1
+      }
+      res.map { case (s0, e0, c) =>
+        val t = text.substring(s0, math.min(e0, text.length))
+        val lead = t.length - dropLeadingWs(t)
+        val s = s0 + lead
+        val e = s + trimmedLen(t)
+        (docId, s, e, text.substring(s, e), c.drop(2))
+      }
+    }.toDF("doc_id", "start", "end", "term", "cls")
+  }
+
   /** len(t.lstrip()) — Python lstrip drops all leading whitespace. */
   private def dropLeadingWs(t: String): Int = {
     var i = 0

@@ -55,8 +55,12 @@ object ConnectedComponents {
 
     val norm = edges0.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+    // LAZY checkpoint (r6): the signature aggregation right below is the
+    // action that materializes it — one pass (contract + cache + hash)
+    // instead of an eager checkpoint pass plus a separate signature pass,
+    // the same trick the loop already used for its per-round checkpoints.
     var edges = contractStars(norm, spark)
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var stable = false
     var iter = 0

@@ -478,9 +478,16 @@ object DictTrain {
     val scored = scoredPredictions(docsP, goldsP, lcHarvested)
       .persist(MEMORY_AND_DISK)
     val naive = pruneNaiveKeys(lcHarvested, keyScoresByNote(scored), thAny, thDict)
+    // r6 (guide §5): persist `core` — it feeds the expansion union, the
+    // cond-update anti-join AND both branches of the final union, and each
+    // consumer re-ran the whole naive+greedy prune chain (joins +
+    // flatMapGroups) from the cached scored table; with `full` below also
+    // multiply-consumed, the greedy prune was measured executing ~6× per
+    // training run (TrainProbe: ~1.7 s per execution — most of the gap
+    // between the ~16 s phase sum and the ~28 s full train).
     val core =
-      if (greedy) pruneGreedyKeys(naive, keyScoresByMention(scored), goldsP, thAny, thDict)
-      else naive
+      (if (greedy) pruneGreedyKeys(naive, keyScoresByMention(scored), goldsP, thAny, thDict)
+       else naive).persist(MEMORY_AND_DISK)
     // 4. externals added COND-UPDATE style (`cond_update`: a key already
     //    trained on the corpus is never overwritten by a synonym);
     //    case-folded external abbreviations are routed through the same
@@ -514,14 +521,22 @@ object DictTrain {
     // otherwise be computed twice
     val expanded = expandEntries(core.union(term).union(ext), permBlacklist)
       .distinct().persist(MEMORY_AND_DISK)
-    val withAbbr = expanded.union(abbreviationEntries(abbr, expanded)).distinct()
+    // r6: the union-level distinct that sat here was redundant — duplicate
+    // rows pass the anti-join unchanged and the `full` distinct right
+    // below dedups them; dropping it removes one full-width exchange and
+    // its stage barrier (guide §2.4).
+    val withAbbr = expanded.union(abbreviationEntries(abbr, expanded))
     val extAdd = withAbbr.toDF()
       .join(core.toDF().select(col("section"), col("mention")),
         Seq("section", "mention"), "left_anti")
       .as[DictEntry]
+    // r6 (guide §5): persist `full` — splitUc consumes it twice and the
+    // "any"-limiting below re-reads the lc branch twice more; un-persisted,
+    // every consumer re-ran the whole union+anti+distinct (and `core`)
+    // subtree.
     val full = core.toDF().toDF("section", "mention", "concept_id")
       .union(extAdd.toDF().toDF("section", "mention", "concept_id"))
-      .distinct().as[DictEntry]
+      .distinct().as[DictEntry].persist(MEMORY_AND_DISK)
     val (lcDict, ucExternal) = splitUc(full)
     val ucDict = ucHarvested.toDF().toDF("section", "mention", "concept_id")
       .union(ucExternal.toDF().toDF("section", "mention", "concept_id"))
@@ -544,7 +559,7 @@ object DictTrain {
     // and therefore caches — every partition of both persisted inputs)
     lcOut.toDF().union(ucOut.toDF()).count()
     mentions.unpersist(); harvested.unpersist(); ucNorms.unpersist(); scored.unpersist()
-    expanded.unpersist()
+    expanded.unpersist(); core.unpersist(); full.unpersist()
     if (docsPersistedHere) docsP.unpersist()
     if (goldsPersistedHere) goldsP.unpersist()
     (lcOut, ucOut)

@@ -13,28 +13,52 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Max edge-relation rows for which the per-round BFS join broadcasts
+    * the edges (≈ tens of MB built): terminology/hierarchy graphs are
+    * dimension-scale and fit comfortably; a fact-scale edge set falls back
+    * to the shuffled join. Count is read off the already-checkpointed
+    * relation, so the decision costs one cheap cached-count job. */
+  private val BroadcastEdgeCap = 4000000L
+
+  private def maybeBroadcast(e: DataFrame): DataFrame =
+    if (e.count() <= BroadcastEdgeCap) broadcast(e) else e
+
   /** Full ancestor closure: edges (child, parent) → (node, ancestor) pairs
     * for every node with at least one ancestor. BFS over levels; O(depth)
     * rounds. Novelty per round via left_anti against the accumulated
-    * closure — never a bag-semantics exceptAll re-shuffle of `acc`. */
+    * closure — never a bag-semantics exceptAll re-shuffle of `acc`.
+    *
+    * r6 (guide §2.4/§3.1): the per-round frontier⋈edges join BROADCASTS
+    * the edge relation when it is dimension-scale (≤ BroadcastEdgeCap
+    * rows), removing one full frontier exchange+sort per level; each round
+    * formerly also ran THREE driver actions (eager frontier checkpoint,
+    * isEmpty, eager re-checkpoint of the whole accumulator — quadratic
+    * checkpoint I/O over the loop), now ONE (a count that materializes the
+    * lazy checkpoint and answers emptiness), with the accumulator a lazy
+    * union of already-checkpointed frontiers. Pointer-doubling was tried
+    * and measured SLOWER here (5.4 s vs 3.8 s at sf0.1): path-squaring
+    * composes all ancestor pairs per node (quadratic in path count) and
+    * re-shuffles the full closure every round, which loses to frontier
+    * BFS whenever depth is modest. */
   def ancestorClosure(edges: DataFrame, maxIter: Int = 64)
                      (implicit spark: SparkSession): DataFrame = {
     val e = edges.select(col("child"), col("parent")).localCheckpoint()
+    val eJ = maybeBroadcast(e)
     var frontier = e.select(col("child").as("node"), col("parent").as("anc"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var acc = frontier
     var iter = 0
-    var done = frontier.isEmpty
+    var done = frontier.count() == 0
     while (!done && iter < maxIter) {
       // next level: (node, anc) ⋈ (anc=child, parent) → (node, parent)
-      val next = frontier.join(e, frontier("anc") === e("child"))
+      val next = frontier.join(eJ, frontier("anc") === e("child"))
         .select(frontier("node"), e("parent").as("anc"))
         .distinct()
         .join(acc, Seq("node", "anc"), "left_anti")
-        .localCheckpoint()
-      done = next.isEmpty
+        .localCheckpoint(false)
+      done = next.count() == 0
       if (!done) {
-        acc = acc.union(next).localCheckpoint()
+        acc = acc.union(next)
         frontier = next
       }
       iter += 1
@@ -49,22 +73,25 @@ object Graph {
   def descendants(edges: DataFrame, roots: DataFrame, maxIter: Int = 64)
                  (implicit spark: SparkSession): DataFrame = {
     val e = edges.select(col("child"), col("parent")).localCheckpoint()
+    val eJ = maybeBroadcast(e)
     val r = roots.select(col("root")).distinct()
-    var frontier = e.join(r, e("parent") === r("root"))
+    // same broadcast-edges + lazy-checkpoint/one-action-per-round shape as
+    // ancestorClosure
+    var frontier = eJ.join(r, e("parent") === r("root"))
       .select(col("root"), col("child").as("descendant"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var acc = frontier
     var iter = 0
-    var done = frontier.isEmpty
+    var done = frontier.count() == 0
     while (!done && iter < maxIter) {
-      val next = frontier.join(e, frontier("descendant") === e("parent"))
+      val next = frontier.join(eJ, frontier("descendant") === e("parent"))
         .select(frontier("root"), e("child").as("descendant"))
         .distinct()
         .join(acc, Seq("root", "descendant"), "left_anti")
-        .localCheckpoint()
-      done = next.isEmpty
+        .localCheckpoint(false)
+      done = next.count() == 0
       if (!done) {
-        acc = acc.union(next).localCheckpoint()
+        acc = acc.union(next)
         frontier = next
       }
       iter += 1
@@ -101,30 +128,33 @@ object Graph {
                            truncateOk: Boolean)
                           (implicit spark: SparkSession): DataFrame = {
     val e = edges.select(col("child"), col("parent")).localCheckpoint()
+    val eJ = maybeBroadcast(e)
     val r = roots.select(col("root")).distinct()
-    // dist 1: direct children of each root (root→node via parent→child)
-    var frontier = e.join(r, e("parent") === r("root"))
+    // dist 1: direct children of each root (root→node via parent→child);
+    // same broadcast-edges + lazy-checkpoint/one-action-per-round shape as
+    // ancestorClosure
+    var frontier = eJ.join(r, e("parent") === r("root"))
       .select(col("root"), col("child").as("node"), lit(1).as("dist"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var acc = frontier
     var d = 1
-    var done = frontier.isEmpty
+    var done = frontier.count() == 0
     while (!done && d < maxDist) {
-      val next = frontier.join(e, frontier("node") === e("parent"))
+      val next = frontier.join(eJ, frontier("node") === e("parent"))
         .select(frontier("root"), e("child").as("node"),
           (frontier("dist") + 1).as("dist"))
         .distinct()
         .join(acc, Seq("root", "node"), "left_anti")
-        .localCheckpoint()
-      done = next.isEmpty
+        .localCheckpoint(false)
+      done = next.count() == 0
       if (!done) {
-        acc = acc.union(next).localCheckpoint()
+        acc = acc.union(next)
         frontier = next
       }
       d += 1
     }
     if (!done && !truncateOk) {
-      val cutOff = !frontier.join(e, frontier("node") === e("parent"))
+      val cutOff = !frontier.join(eJ, frontier("node") === e("parent"))
         .select(frontier("root"), e("child").as("node"))
         .join(acc, Seq("root", "node"), "left_anti")
         .isEmpty

@@ -788,8 +788,13 @@ object LinkageQueries {
     QueryDef("linkage_macro_iou",
       (s, dir) => {
         val n = corpusSize(dir)
+        // r6: checkpoint the inference once — macroCharIou references pred
+        // in two subtrees AND this query runs two actions over the joined
+        // result (macro-avg head + per-concept count), so the inference was
+        // evaluated up to 4× per run (guide §5).
         val pred = annotate(s, dir).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
+          .localCheckpoint()
         val gt = sharedGold(s, dir).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
         exportTable(pred, "liou_pred")
@@ -1045,10 +1050,15 @@ object LinkageQueries {
           exportTable(sharedGold(s, dir).toDF()
             .select(col("doc_id"), col("start"), col("end"), col("concept_id")), "ti_gold")
         }
+        // r6: materialize the trained-dict inference ONCE (localCheckpoint)
+        // before scoring — macroCharIou references its pred input in two
+        // plan subtrees (interval-overlap join + per-concept lengths), so
+        // the un-materialized inference ran twice inside the one scoring
+        // action (guide §5 "caching is worth it when a frame is reused").
         val pred = graft.operators.DictTrain.infer(sharedDocs(s, dir), lc, uc).toDF()
-        val (_, macroAvg) = Metrics.macroCharIou(
-          pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),
-          sharedGold(s, dir).toDF())
+          .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
+          .localCheckpoint()
+        val (_, macroAvg) = Metrics.macroCharIou(pred, sharedGold(s, dir).toDF())
         Seq(("macro_char_iou_trained_dict", math.rint(macroAvg * 10000) / 10000))
           .toDF("metric", "value")
       },
@@ -1517,16 +1527,13 @@ object LinkageQueries {
             .toDF("doc_id", "text"), "bd_docs")
           exportTable(sharedGold(s, dir).toDF(), "bd_gold")
         }
-        val docs = sharedDocs(s, dir)
-        val labeled = graft.operators.Bio.bioLabels(docs,
-            sharedGold(s, dir).toDF().withColumn("cls", conceptClsExpr))
-          .filter(col("label") =!= "O") // decode drops O's; don't join them
-        val docLen = docs.map(d => (d.doc_id, d.text.length))
-          .toDF("doc_id", "n")
-        val extended = labeled.join(docLen, "doc_id")
-          .withColumn("tend", least(col("tend") + 1, col("n")))
-          .select("doc_id", "tstart", "tend", "label")
-        graft.operators.Bio.decodeMentions(docs, extended)
+        // r6: labels + end-extension + decode FUSED into one per-doc
+        // cogroup (Bio.labelDecodeFused) — the unfused chain paid two doc
+        // cogroup shuffles plus a doc-length join (a third doc pass) for a
+        // computation that is per-doc end to end. Output pinned identical
+        // to the chain by BioGmlOffsetSpec; the oracle SQL is unchanged.
+        graft.operators.Bio.labelDecodeFused(sharedDocs(s, dir),
+          sharedGold(s, dir).toDF().withColumn("cls", conceptClsExpr))
       },
       Some(s"""WITH RECURSIVE ${bioLabelCtes("bd_docs", "bd_gold")},
              |lbl AS (SELECT l.doc_id, l.tstart,

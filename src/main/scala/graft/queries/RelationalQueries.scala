@@ -171,8 +171,26 @@ object RelationalQueries {
           (col("o_orderkey") % 1000).as("s"),
           (col("o_orderkey") % 1000 + 1 + col("o_custkey") % 50).as("e"),
           (col("o_orderkey") % 200).as("grp"))
-        val a = iv.alias("a"); val b = iv.alias("b")
-        a.join(b, col("a.grp") === col("b.grp") && col("a.k") < col("b.k") &&
+        // r6 band join (guide §3, exploding-join avoidance): interval
+        // length is 1 + custkey%50 ≤ 50, so overlapping pairs differ by
+        // < 51 in s — join on (grp, band) with band = s div 51 and the
+        // right side replicated to its 3 adjacent bands. Every
+        // overlapping pair matches EXACTLY once (the three replicas carry
+        // distinct band values, at most one equal to the left's), the
+        // predicates are unchanged, and the measured candidate volume
+        // drops 112.5M → 22.5M residual evaluations at sf0.1. The two key
+        // columns are PACKED into one bigint (grp·64 + band+1, band ∈
+        // [−1, 19]) — a single-long join key keeps Spark's dense
+        // LongHashedRelation; a (grp, band) two-column key fell back to
+        // generic UnsafeRow hashing and was measured 2.5× SLOWER than the
+        // unbanded join despite 5× fewer candidates.
+        val a = iv.withColumn("gb", col("grp") * 64 + expr("s div 51") + 1).alias("a")
+        val b = iv.select(col("k"), col("s"), col("e"), col("grp"),
+          explode(expr("array(grp * 64 + s div 51, grp * 64 + s div 51 + 1, " +
+            "grp * 64 + s div 51 + 2)")).as("gb"))
+          .alias("b")
+        a.join(b, col("a.gb") === col("b.gb") &&
+            col("a.k") < col("b.k") &&
             greatest(col("a.s"), col("b.s")) < least(col("a.e"), col("b.e")))
           .groupBy(col("a.grp").as("grp"))
           .agg(count(lit(1)).as("n_pairs"),

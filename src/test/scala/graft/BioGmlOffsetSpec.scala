@@ -115,6 +115,39 @@ class BioGmlOffsetSpec extends AnyFunSuite with SparkTestBase {
     assert(want.forall { case (s, e, t, _) => !t.startsWith(" ") && !t.endsWith(" ") && e - s == t.length })
   }
 
+  test("C4→C5 fused labelDecodeFused equals the unfused chain (r6)") {
+    // multi-doc corpus with overlapping/nested/tie spans so label
+    // overwrites, merges and the +1 end extension are all live
+    val texts = Seq(
+      "acute flank pain, no fever today. stable vitals noted",
+      "aa bb cc dd ee ff gg hh",
+      "left knee  pain and some x right elbow swelling end",
+      "single")
+    val docs = spark.createDataset(texts.zipWithIndex.map { case (t, i) => doc(s"d$i", t) })
+    val spans = Seq(
+      ("d0", 0, 16, "finding"), ("d0", 6, 16, "procedure"),
+      ("d0", 22, 27, "finding"), ("d0", 34, 47, "body structure"),
+      ("d1", 0, 8, "f"), ("d1", 9, 14, "g"), ("d1", 15, 23, "f"),
+      ("d2", 0, 15, "f"), ("d2", 33, 47, "g"),
+      ("d3", 0, 6, "h"))
+    val spanDf = spans.toDF("doc_id", "start", "end", "cls")
+    // unfused chain exactly as the bio_decode query ran it pre-r6
+    val labeled = Bio.bioLabels(docs, spanDf)
+      .filter(col("label") =!= "O")
+    val docLen = docs.map(d => (d.doc_id, d.text.length)).toDF("doc_id", "n")
+    val extended = labeled.join(docLen, "doc_id")
+      .withColumn("tend", least(col("tend") + 1, col("n")))
+      .select("doc_id", "tstart", "tend", "label")
+    val chain = Bio.decodeMentions(docs, extended).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val fused = Bio.labelDecodeFused(docs, spanDf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(fused == chain)
+    assert(fused.nonEmpty)
+  }
+
   test("F7 offset fix: closed form equals the cumsum-of-marks reference") {
     val texts = Seq(
       "a  bb   c d  ",
