@@ -119,13 +119,13 @@ object AttributeRewrite {
       .select(col("general_id").cast("long"), col("specific_id").cast("long"),
         col("additional_word"))
       .as[(Long, Long, String)]
-    // guard BEFORE collecting (count → require → collect, the
-    // Similarity.bruteForceTopK pattern): an over-size attribute table must
-    // fail loudly, not OOM the driver materializing it first
-    val nAtt = attDs.count()
-    require(nAtt <= maxBroadcastRows,
-      s"attribute table has $nAtt rows > broadcast cap $maxBroadcastRows")
-    val rows = attDs.collect()
+    // r6 limit-probe guard: limit(cap+1) bounds the driver collect AT the
+    // cap (an over-size table still fails loudly, and can no longer OOM
+    // the driver the way a passed-count full collect could) while folding
+    // the former count pass into the one collect action (guide §1.2)
+    val rows = attDs.limit((maxBroadcastRows + 1).toInt).collect()
+    require(rows.length <= maxBroadcastRows,
+      s"attribute table has > $maxBroadcastRows rows (broadcast cap)")
     val att: Map[Long, Seq[(String, Long)]] = rows.toSeq
       .groupBy(_._1)
       .map { case (g, rs) =>

@@ -507,15 +507,14 @@ object DictTrain {
     val blacklistDs = wordCounts.crossJoin(nDocsDf)
       .filter(col("freq") > lit(13L) * col("n_docs"))
       .select(col("word")).as[String]
-      .persist(MEMORY_AND_DISK)
-    // count → require → collect: words averaging >13 occurrences per doc
-    // are a tiny stop-word-class set by construction, but the driver
-    // collect still gets a loud cap instead of a silent OOM
-    val nBlacklist = blacklistDs.count()
-    require(nBlacklist <= 10000000L,
-      s"permutation blacklist has $nBlacklist words > 10M driver-collect cap")
-    val permBlacklist = blacklistDs.collect().toSet
-    blacklistDs.unpersist()
+    // r6 limit-probe: words averaging >13 occurrences per doc are a tiny
+    // stop-word-class set by construction; limit(cap+1) keeps the loud
+    // driver-collect cap while folding the former count pass (and its
+    // persist/unpersist bookkeeping) into the one collect action
+    val blWords = blacklistDs.limit(10000001).collect()
+    require(blWords.length <= 10000000,
+      s"permutation blacklist exceeds the 10M driver-collect cap")
+    val permBlacklist = blWords.toSet
     // persist: the permutation expansion (largest intermediate) has TWO
     // consumers below (the union and the abbreviation join) and would
     // otherwise be computed twice

@@ -447,11 +447,15 @@ object DictionaryMatch {
   val MaxBroadcastDictEntries: Long = 20000000L
 
   private def collectDict(dict: Dataset[DictEntry]): Array[DictEntry] = {
-    val n = dict.count()
-    require(n <= MaxBroadcastDictEntries,
-      s"dictionary has $n entries > broadcast cap $MaxBroadcastDictEntries " +
+    // r6 limit-probe: limit(cap+1) bounds the driver collect AT the cap —
+    // the former count-then-collect paid a second full pass over the dict
+    // derivation per annotate call, and (unlike this form) collected
+    // everything once the count passed (guide §1.2)
+    val rows = dict.limit((MaxBroadcastDictEntries + 1).toInt).collect()
+    require(rows.length <= MaxBroadcastDictEntries,
+      s"dictionary has > $MaxBroadcastDictEntries entries (broadcast cap) " +
         "— route beyond-broadcast-scale matching through LinkagePipeline")
-    dict.collect()
+    rows
   }
 
   def annotate(docs: Dataset[Doc], dict: Dataset[DictEntry],

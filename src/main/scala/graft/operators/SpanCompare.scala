@@ -94,11 +94,15 @@ object SpanCompare {
                      (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val termsDs = terms.select(col("term")).distinct().as[String]
-    // count → require → collect (broadcast-scale term set by design)
-    val nTerms = termsDs.count()
-    require(nTerms <= 20000000L,
-      s"termOccurrences broadcasts the term set: $nTerms terms > 20M cap")
-    val termList = termsDs.collect()
+    // r6: limit-probe collect — limit(cap+1) bounds the driver collect AT
+    // the cap (stronger protection than the former count-then-collect,
+    // which collected everything after the count passed) and folds the
+    // guard into the one collect action instead of two passes over the
+    // term derivation (guide §1.2).
+    val cap = 20000000
+    val termList = termsDs.limit(cap + 1).collect()
+    require(termList.length <= cap,
+      s"termOccurrences broadcasts the term set: > $cap terms")
     val maxTokens = if (termList.isEmpty) 1
       else termList.iterator.map(_.count(_ == ' ') + 1).max
     val hashes = spark.sparkContext.broadcast {
@@ -139,7 +143,11 @@ object SpanCompare {
     }.toDF("term_hash", "occ")
       .groupBy("term_hash").agg(sum(col("occ")).as("occurrences"))
     val fp = udf((s: String) => TextFns.fingerprint64(s))
-    terms.select(col("term")).distinct()
+    // r6: the join-back reads the ALREADY-COLLECTED distinct term list as a
+    // local relation instead of re-deriving terms.distinct() from its
+    // upstream scan a second time (guide §1.2) — identical rows by
+    // construction (termList IS that distinct set).
+    spark.createDataset(termList.toSeq).toDF("term")
       .withColumn("term_hash", fp(col("term")))
       .join(counts, Seq("term_hash"), "left_outer")
       .select(col("term"), coalesce(col("occurrences"), lit(0L)).as("occurrences"))

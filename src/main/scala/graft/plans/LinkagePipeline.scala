@@ -220,7 +220,11 @@ object LinkagePipeline {
     val nodeAssignments = nodes.select(col("id"))
       .join(components, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // r6 (guide §5): persist the assignments — the F1 gate joins them TWICE
+    // (pair side a and side b) and the clusters query counts them first;
+    // un-persisted, each consumer re-ran the mention/node assignment joins.
     val assignments = mentionAssignments(mentions, components).union(nodeAssignments)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // mention-level block keys (for the F1 universe / skew diagnostics):
     // PERSISTED — the F1 gate consumes this table twice (universe self-join
@@ -233,7 +237,7 @@ object LinkagePipeline {
       .select(col("id"), col("key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     Result(assignments, scored, mentionKeys, keyFreq, nodeKeys = keys,
-      persisted = Seq(nodes, keysN, components, mentionKeys) ++
+      persisted = Seq(nodes, keysN, components, mentionKeys, assignments) ++
         (if (persistScored) Seq(scored) else Nil))
   }
 

@@ -93,8 +93,15 @@ object LinkageQueries {
       implicit val sp: SparkSession = s
       val n = corpusSize(dir)
       val (d, g) = sharedCorpus(s, dir)
+      // r6 (guide §5): persist the mention extraction — the cogroup output
+      // feeds node building, mention-level block keys AND the mention
+      // assignment join inside run(); un-persisted it re-ran the full
+      // doc⋈gold cogroup shuffle once per consumer (~2 s each at sf0.1).
+      // Tracked in Result.persisted so release() frees it with the rest.
       val mentions = LinkagePipeline.mentionsFromSpans(d, g)
-      LinkagePipeline.run(mentions, dict(s, n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = LinkagePipeline.run(mentions, dict(s, n))
+      r.copy(persisted = r.persisted :+ mentions.toDF)
     })
   }
 
@@ -788,13 +795,11 @@ object LinkageQueries {
     QueryDef("linkage_macro_iou",
       (s, dir) => {
         val n = corpusSize(dir)
-        // r6: checkpoint the inference once — macroCharIou references pred
-        // in two subtrees AND this query runs two actions over the joined
-        // result (macro-avg head + per-concept count), so the inference was
-        // evaluated up to 4× per run (guide §5).
+        // r6 note: like dict_train_iou, an eager localCheckpoint of the
+        // inference was tried here and measured slightly SLOWER than the
+        // in-job duplicate evaluation — kept un-materialized.
         val pred = annotate(s, dir).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
-          .localCheckpoint()
         val gt = sharedGold(s, dir).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
         exportTable(pred, "liou_pred")
@@ -1050,14 +1055,14 @@ object LinkageQueries {
           exportTable(sharedGold(s, dir).toDF()
             .select(col("doc_id"), col("start"), col("end"), col("concept_id")), "ti_gold")
         }
-        // r6: materialize the trained-dict inference ONCE (localCheckpoint)
-        // before scoring — macroCharIou references its pred input in two
-        // plan subtrees (interval-overlap join + per-concept lengths), so
-        // the un-materialized inference ran twice inside the one scoring
-        // action (guide §5 "caching is worth it when a frame is reused").
+        // r6 note: macroCharIou references pred in two plan subtrees, so
+        // the inference evaluates twice INSIDE the one scoring action — an
+        // eager localCheckpoint here was tried and measured SLOWER (9.1 s
+        // vs 4.6-5.2 s graded): the duplicate evaluation runs in-stage
+        // across otherwise-idle cores, while the checkpoint adds a serial
+        // job barrier. Kept un-materialized deliberately.
         val pred = graft.operators.DictTrain.infer(sharedDocs(s, dir), lc, uc).toDF()
           .select(col("doc_id"), col("start"), col("end"), col("concept_id"))
-          .localCheckpoint()
         val (_, macroAvg) = Metrics.macroCharIou(pred, sharedGold(s, dir).toDF())
         Seq(("macro_char_iou_trained_dict", math.rint(macroAvg * 10000) / 10000))
           .toDF("metric", "value")
@@ -1219,6 +1224,10 @@ object LinkageQueries {
               (col("k") % 3).cast("int") + 1).as("term"),
             (col("k") % 4).as("cls"))
           .withColumn("ea", col("sa") + 4 + col("k") % 5)
+          // r6: materialize once — a, b AND the term-occurrence union all
+          // derive from this windowed frame; un-checkpointed, the orders
+          // window recomputed ~5× across the query's actions (guide §5)
+          .localCheckpoint()
         val a = base.select(col("doc_id"), col("sa").cast("int").as("start"),
           col("ea").cast("int").as("end"), col("term"))
         // per class: 0 same span, 1 strictly contained, 2 right-shifted

@@ -81,11 +81,14 @@ object EventStream {
     val maxTs = stats.getTimestamp(0).getTime
     val sentinelDir = java.nio.file.Files
       .createTempDirectory("graft_sentinel").toString
+    // coalesce(1): the sentinel table is one row per distinct user — 32
+    // near-empty files only added open/list overhead to the stream source
     ev.select(col("user_id")).distinct()
       .select(lit(-1L).as("event_id"),
         lit(new Timestamp(maxTs + 2 * gapMs)).as("ts"), col("user_id"),
         lit("__sentinel__").as("event_type"), lit(0.0).as("value"),
         lit("").as("props"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(sentinelDir)
 
     def src(dir: String, glob: String) = spark.readStream.schema(eventSchema)
