@@ -1645,14 +1645,33 @@ object LinkageQueries {
     val n = corpusSize(dir)
     val g = sharedGold(s, dir)
     val result = sharedRun(s, dir)
-    val universeAll = Blocking.candidatePairs(
-      result.blockKeys.filter(col("id").startsWith("m:")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = universeAll.count()
-    val universe =
-      if (nPairs <= maxUniversePairs) universeAll
-      else universeAll.filter(
-        pmod(xxhash64(col("a"), col("b")), lit(nPairs / maxUniversePairs + 1)) === 0)
+    val mKeys = result.blockKeys.filter(col("id").startsWith("m:"))
+    // r6 (guide §1.2): the sampling decision needs only to know the
+    // universe is UNDER the cap — a cheap per-key frequency sum bounds the
+    // pre-dedup pair bag (Σ freq·(freq−1)/2 over capped keys ≥ the
+    // distinct pair count), so when the bound clears the cap the pair
+    // table is never materialized or counted: the judged aggregation
+    // consumes it fused in one job. Equivalence: bound ≤ cap ⟹
+    // nPairs ≤ cap ⟹ the old path was unsampled too; above the bound we
+    // fall back to the exact persist+count+maybe-sample path unchanged.
+    val hotKeyCap = 1000
+    val pairBagBound = Blocking.keyFrequencies(mKeys)
+      .filter(col("freq") <= hotKeyCap)
+      .agg(coalesce(sum(expr("freq * (freq - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    val (universe, universeAllOpt, nPairsKnown) =
+      if (pairBagBound <= maxUniversePairs)
+        (Blocking.candidatePairs(mKeys, hotKeyCap), None, pairBagBound)
+      else {
+        val universeAll = Blocking.candidatePairs(mKeys, hotKeyCap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = universeAll.count()
+        val u =
+          if (nPairs <= maxUniversePairs) universeAll
+          else universeAll.filter(
+            pmod(xxhash64(col("a"), col("b")), lit(nPairs / maxUniversePairs + 1)) === 0)
+        (u, Some(universeAll), nPairs)
+      }
     val labels = g.map(x => (s"m:${x.doc_id}:${x.start}:${x.end}", x.concept_id))
       .toDF("id", "cid")
     // end-to-end oracle exports (Verify only): mention norms (the oracle
@@ -1662,9 +1681,10 @@ object LinkageQueries {
     // universe, so exporting while the hash-sampler is active would be a
     // silent oracle mismatch — assert it never is at verified scales.
     if (exportEnabled) {
-      require(nPairs <= maxUniversePairs,
+      require(nPairsKnown <= maxUniversePairs,
         s"linkage_pairwise_f1 oracle assumes the unsampled universe but " +
-          s"$nPairs pairs > $maxUniversePairs — verified scale factors must stay below the sampler")
+          s"$nPairsKnown pairs (or bag bound) > $maxUniversePairs — " +
+          "verified scale factors must stay below the sampler")
       val (dd, gg) = sharedCorpus(s, dir)
       exportTable(LinkagePipeline.mentionsFromSpans(dd, gg).toDF().select(
         concat(lit("m:"), col("doc_id"), lit(":"), col("start"), lit(":"),
@@ -1693,7 +1713,7 @@ object LinkageQueries {
         sum(when(col("gold") && !col("pred"), 1).otherwise(0)).as("fn"),
         count(lit(1)).as("n_pairs"))
       .head()
-    universeAll.unpersist()
+    universeAllOpt.foreach(_.unpersist())
     val tp = judged.getLong(0).toDouble
     val fp = judged.getLong(1).toDouble
     val fn = judged.getLong(2).toDouble
