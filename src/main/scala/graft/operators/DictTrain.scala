@@ -242,13 +242,33 @@ object DictTrain {
                         dict: Dataset[DictEntry])
                        (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val pred = DictionaryMatch.annotate(docs, dict)
-    golds.groupByKey(_.doc_id).cogroup(pred.groupByKey(_.doc_id)) { (docId, gIt, pIt) =>
-      val refs = gIt.toIndexedSeq.sortBy(r => (r.start, r.end, r.concept_id))
-      val anns = pIt.toIndexedSeq.sortBy(a => (a.start, a.end, a.concept_id))
-      scoreDocPredictions(refs, anns).iterator
-        .map { case (a, s) => (docId, a.section, a.dict_entry, s) }
-    }.toDF("doc_id", "section", "mention", "score")
+    // r6 fusion (guide §2.4, the annotateDualResolved precedent): the raw
+    // gazetteer probe runs INSIDE the doc×gold cogroup instead of as a
+    // separate flatMap whose per-doc output — the WIDEST training
+    // intermediate, the raw overlapping candidates — was immediately
+    // re-shuffled by doc_id for scoring. Output is row-identical: matchDoc
+    // is deterministic per doc and both shapes sort anns/refs the same way
+    // before the two-pointer walk (docs with no golds still score their
+    // predictions −1; gold-only or empty docs still emit nothing). Pinned
+    // by the inputs-only dict_train oracle and DictTrainSpec.
+    val (dictMap, firstTokens) =
+      DictionaryMatch.dictStructures(DictionaryMatch.collectDict(dict))
+    val dmB = spark.sparkContext.broadcast(dictMap)
+    val ftB = spark.sparkContext.broadcast(firstTokens)
+    docs.map(d => (d.doc_id, d.text)).groupByKey(_._1)
+      .cogroup(golds.groupByKey(_.doc_id)) { (docId, dIt, gIt) =>
+        dIt.toSeq.headOption match {
+          case None => Iterator.empty
+          case Some((_, text)) =>
+            val anns = DictionaryMatch
+              .matchDoc(docId, text, maxTokens = 6, minStart = 100,
+                dmB.value, ftB.value)
+              .toIndexedSeq.sortBy(a => (a.start, a.end, a.concept_id))
+            val refs = gIt.toIndexedSeq.sortBy(r => (r.start, r.end, r.concept_id))
+            scoreDocPredictions(refs, anns).iterator
+              .map { case (a, s) => (docId, a.section, a.dict_entry, s) }
+        }
+      }.toDF("doc_id", "section", "mention", "score")
   }
 
   /** scores_by_note counts (`mimic_train.py:351-359`): per (key, note) at

@@ -446,7 +446,7 @@ object DictionaryMatch {
     * path is the blocking+scoring pipeline, not the gazetteer. */
   val MaxBroadcastDictEntries: Long = 20000000L
 
-  private def collectDict(dict: Dataset[DictEntry]): Array[DictEntry] = {
+  private[operators] def collectDict(dict: Dataset[DictEntry]): Array[DictEntry] = {
     // r6 limit-probe: limit(cap+1) bounds the driver collect AT the cap —
     // the former count-then-collect paid a second full pass over the dict
     // derivation per annotate call, and (unlike this form) collected
