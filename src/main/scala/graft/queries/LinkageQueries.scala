@@ -1655,13 +1655,18 @@ object LinkageQueries {
     // nPairs ≤ cap ⟹ the old path was unsampled too; above the bound we
     // fall back to the exact persist+count+maybe-sample path unchanged.
     val hotKeyCap = 1000
-    val pairBagBound = Blocking.keyFrequencies(mKeys)
+    // decimal(38,0) accumulation (the CC-signature trick): a plain long sum
+    // over ~1e13+ capped keys could wrap negative and silently take the
+    // unsampled shortcut at exactly the scale where sampling matters
+    val pairBagBound = BigDecimal(Blocking.keyFrequencies(mKeys)
       .filter(col("freq") <= hotKeyCap)
-      .agg(coalesce(sum(expr("freq * (freq - 1) div 2")), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(sum(expr("freq * (freq - 1) div 2").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0))
     val (universe, universeAllOpt, nPairsKnown) =
-      if (pairBagBound <= maxUniversePairs)
-        (Blocking.candidatePairs(mKeys, hotKeyCap), None, pairBagBound)
+      if (pairBagBound <= BigDecimal(maxUniversePairs))
+        // bound ≤ 50M here, so the long conversion is exact
+        (Blocking.candidatePairs(mKeys, hotKeyCap), None, pairBagBound.toLong)
       else {
         val universeAll = Blocking.candidatePairs(mKeys, hotKeyCap)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
