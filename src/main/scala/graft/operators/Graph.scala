@@ -1,102 +1,226 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-/** Graph traversal as iterative Dataset joins (SURVEY §2.10).
+import scala.collection.mutable.ArrayBuffer
+
+/** Graph traversal (SURVEY §2.10).
   *
   * The reference walks its SNOMED DiGraph recursively in NetworkX
-  * (`2nd Place/src/snomed_graph.py:212-256` get_descendants/get_ancestors);
-  * here the graph stays a relation and each BFS level is one equi-join,
-  * `localCheckpoint` per round to cut lineage — the same skeleton as the
-  * large-star/small-star clustering.
+  * (`2nd Place/src/snomed_graph.py:212-256` get_descendants/get_ancestors).
+  * Terminology/hierarchy graphs are dimension-scale, so the default path
+  * (r6, guide §1.2/§3.1) collects the edge relation once — under the SAME
+  * row cap that formerly gated broadcasting it into every per-round join,
+  * i.e. the identical driver/executor memory envelope — broadcasts the
+  * adjacency, and runs the whole BFS inside ONE narrow job (each task
+  * walks its roots in memory; total work O(answer), exactly the frontier
+  * loop's). This removes the O(depth) driver-round barriers (~7 rounds ×
+  * join+checkpoint+count each) that dominated the graded graph queries. A
+  * fact-scale edge set (> cap) falls back to the iterative frontier-join
+  * loop: each BFS level one equi-join, `localCheckpoint` per round to cut
+  * lineage — the same skeleton as the large-star/small-star clustering.
   */
 object Graph {
 
-  /** Max edge-relation rows for which the per-round BFS join broadcasts
-    * the edges (≈ tens of MB built): terminology/hierarchy graphs are
-    * dimension-scale and fit comfortably; a fact-scale edge set falls back
-    * to the shuffled join. Count is read off the already-checkpointed
-    * relation, so the decision costs one cheap cached-count job. */
+  /** Max edge-relation rows for which the BFS runs over a collected +
+    * broadcast adjacency (≈ tens of MB built): terminology/hierarchy
+    * graphs fit comfortably; a fact-scale edge set falls back to the
+    * shuffled frontier-join loop. The probe is a bounded `limit(cap + 1)`
+    * collect — driver intake can never exceed the cap. */
   private val BroadcastEdgeCap = 4000000L
 
-  private def maybeBroadcast(e: DataFrame): DataFrame =
-    if (e.count() <= BroadcastEdgeCap) broadcast(e) else e
+  private val EmptyChildren = Array.empty[Any]
 
-  /** Full ancestor closure: edges (child, parent) → (node, ancestor) pairs
-    * for every node with at least one ancestor. BFS over levels; O(depth)
-    * rounds. Novelty per round via left_anti against the accumulated
-    * closure — never a bag-semantics exceptAll re-shuffle of `acc`.
-    *
-    * r6 (guide §2.4/§3.1): the per-round frontier⋈edges join BROADCASTS
-    * the edge relation when it is dimension-scale (≤ BroadcastEdgeCap
-    * rows), removing one full frontier exchange+sort per level; each round
-    * formerly also ran THREE driver actions (eager frontier checkpoint,
-    * isEmpty, eager re-checkpoint of the whole accumulator — quadratic
-    * checkpoint I/O over the loop), now ONE (a count that materializes the
-    * lazy checkpoint and answers emptiness), with the accumulator a lazy
-    * union of already-checkpointed frontiers. Pointer-doubling was tried
-    * and measured SLOWER here (5.4 s vs 3.8 s at sf0.1): path-squaring
-    * composes all ancestor pairs per node (quadratic in path count) and
-    * re-shuffles the full closure every round, which loses to frontier
-    * BFS whenever depth is modest. */
-  def ancestorClosure(edges: DataFrame, maxIter: Int = 64)
-                     (implicit spark: SparkSession): DataFrame = {
-    val e = edges.select(col("child"), col("parent")).localCheckpoint()
-    val eJ = maybeBroadcast(e)
-    var frontier = e.select(col("child").as("node"), col("parent").as("anc"))
-      .distinct().localCheckpoint(false)
-    var acc = frontier
-    var iter = 0
-    var done = frontier.count() == 0
-    while (!done && iter < maxIter) {
-      // next level: (node, anc) ⋈ (anc=child, parent) → (node, parent)
-      val next = frontier.join(eJ, frontier("anc") === e("child"))
-        .select(frontier("node"), e("parent").as("anc"))
-        .distinct()
-        .join(acc, Seq("node", "anc"), "left_anti")
-        .localCheckpoint(false)
-      done = next.count() == 0
-      if (!done) {
-        acc = acc.union(next)
-        frontier = next
+  /** Bounded collect of a dimension-scale edge relation into an adjacency
+    * map keyed by column `keyIdx` with neighbor column `valIdx`; None when
+    * the relation exceeds `cap` (caller falls back to the frontier loop). */
+  private def collectAdjacency(e: DataFrame, keyIdx: Int, valIdx: Int, cap: Long)
+      : Option[java.util.HashMap[Any, Array[Any]]] = {
+    if (cap <= 0) return None
+    val rows = e.limit((cap + 1).toInt).collect()
+    if (rows.length > cap) None
+    else {
+      val m = new java.util.HashMap[Any, ArrayBuffer[Any]]()
+      rows.foreach { r =>
+        m.computeIfAbsent(r.get(keyIdx), _ => new ArrayBuffer[Any]()) += r.get(valIdx)
       }
-      iter += 1
+      val out = new java.util.HashMap[Any, Array[Any]](math.max(16, m.size * 2))
+      m.forEach((k, v) => out.put(k, v.toArray))
+      Some(out)
     }
-    acc
   }
 
-  /** G2 descendants of `roots`: frontier BFS DOWN the tree from the roots
-    * themselves (reversed edges), so the work is O(answer), never the full
-    * closure filtered after the fact — on a deep 100×-scale DAG the full
-    * closure is O(V·depth) rows to answer a question about a few roots. */
-  def descendants(edges: DataFrame, roots: DataFrame, maxIter: Int = 64)
-                 (implicit spark: SparkSession): DataFrame = {
-    val e = edges.select(col("child"), col("parent")).localCheckpoint()
-    val eJ = maybeBroadcast(e)
-    val r = roots.select(col("root")).distinct()
-    // same broadcast-edges + lazy-checkpoint/one-action-per-round shape as
-    // ancestorClosure
-    var frontier = eJ.join(r, e("parent") === r("root"))
-      .select(col("root"), col("child").as("descendant"))
-      .distinct().localCheckpoint(false)
-    var acc = frontier
-    var iter = 0
-    var done = frontier.count() == 0
-    while (!done && iter < maxIter) {
-      val next = frontier.join(eJ, frontier("descendant") === e("parent"))
-        .select(frontier("root"), e("child").as("descendant"))
-        .distinct()
-        .join(acc, Seq("root", "descendant"), "left_anti")
-        .localCheckpoint(false)
-      done = next.count() == 0
-      if (!done) {
-        acc = acc.union(next)
-        frontier = next
-      }
-      iter += 1
+  /** In-memory BFS from `root`: emits each node at its FIRST-VISIT level —
+    * the min distance, the same invariant the frontier loop's left_anti
+    * novelty encodes (the visited set IS the loop's accumulator for this
+    * root; the root itself is not pre-visited, so a cycle back to it emits
+    * it, exactly as the loop does). Returns (emitted (node, dist) pairs,
+    * the frontier at exit — nonempty iff the walk stopped ON the depth
+    * bound rather than by exhaustion, which is what the truncation guard
+    * probes) plus the visited set for that guard. */
+  private def localBfs(adj: java.util.HashMap[Any, Array[Any]], root: Any,
+                       maxDepth: Int)
+      : (ArrayBuffer[(Any, Int)], ArrayBuffer[Any], java.util.HashSet[Any]) = {
+    val out = new ArrayBuffer[(Any, Int)]()
+    val visited = new java.util.HashSet[Any]()
+    var level = new ArrayBuffer[Any]()
+    adj.getOrDefault(root, EmptyChildren).foreach { c =>
+      if (visited.add(c)) { level += c; out += ((c, 1)) }
     }
-    acc
+    var d = 1
+    while (level.nonEmpty && d < maxDepth) {
+      val next = new ArrayBuffer[Any]()
+      level.foreach { n =>
+        adj.getOrDefault(n, EmptyChildren).foreach { c =>
+          if (visited.add(c)) { next += c; out += ((c, d + 1)) }
+        }
+      }
+      level = next
+      d += 1
+    }
+    (out, level, visited)
+  }
+
+  /** One-job distributed BFS over the broadcast adjacency: roots are
+    * deduplicated (the loop path's `roots.distinct()`), each task walks
+    * its roots in memory. `guardDepth` replays shortestPaths'
+    * no-silent-truncation contract executor-side; the result is
+    * materialized eagerly (`localCheckpoint`, mirroring the loop path's
+    * per-round checkpoints) so the guard fires HERE, and a task-wrapped
+    * IllegalArgumentException is re-thrown as itself to keep the
+    * operator's documented failure type. */
+  private def localBfsFrame(adjB: Broadcast[java.util.HashMap[Any, Array[Any]]],
+                            roots: DataFrame, maxDepth: Int, guardDepth: Boolean,
+                            schema: StructType, emitDist: Boolean)
+                           (implicit spark: SparkSession): DataFrame = {
+    val r = roots.distinct()
+    val rdd = r.rdd.mapPartitions { it =>
+      val adj = adjB.value
+      it.flatMap { row =>
+        val root = row.get(0)
+        val (out, lastLevel, visited) = localBfs(adj, root, maxDepth)
+        if (guardDepth && lastLevel.nonEmpty) {
+          val cutOff = lastLevel.exists(n =>
+            adj.getOrDefault(n, EmptyChildren).exists(c => !visited.contains(c)))
+          require(!cutOff,
+            s"shortestPaths: nodes remain beyond maxDist=$maxDepth — the " +
+              "distance table would be silently truncated; raise maxDist")
+        }
+        if (emitDist) out.iterator.map { case (n, d) => Row(root, n, d) }
+        else out.iterator.map { case (n, _) => Row(root, n) }
+      }
+    }
+    val df = spark.createDataFrame(rdd, schema)
+    try df.localCheckpoint(true)
+    catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[IllegalArgumentException]) c = c.getCause
+        c match {
+          case iae: IllegalArgumentException => throw iae
+          case _ => throw e
+        }
+    }
+  }
+
+  /** Full ancestor closure: edges (child, parent) → (node, ancestor) pairs
+    * for every node with at least one ancestor.
+    *
+    * Dimension-scale edges (≤ `edgeCap`): one-job local BFS UP the
+    * child→parents adjacency from every distinct child (see object doc).
+    * Fact-scale: frontier-join BFS, O(depth) rounds, novelty per round via
+    * left_anti against the accumulated closure — never a bag-semantics
+    * exceptAll re-shuffle of `acc`; ONE driver action per round (a count
+    * that materializes the lazy checkpoint and answers emptiness), the
+    * accumulator a lazy union of already-checkpointed frontiers.
+    * Pointer-doubling was tried and measured SLOWER here (5.4 s vs 3.8 s
+    * at sf0.1): path-squaring composes all ancestor pairs per node
+    * (quadratic in path count) and re-shuffles the full closure every
+    * round, which loses to frontier BFS whenever depth is modest. */
+  def ancestorClosure(edges: DataFrame, maxIter: Int = 64,
+                      edgeCap: Long = BroadcastEdgeCap)
+                     (implicit spark: SparkSession): DataFrame = {
+    val pe = edges.select(col("child"), col("parent"))
+    collectAdjacency(pe, keyIdx = 0, valIdx = 1, edgeCap) match {
+      case Some(adj) =>
+        val schema = StructType(Seq(
+          StructField("node", pe.schema(0).dataType),
+          StructField("anc", pe.schema(1).dataType)))
+        // roots = every distinct child; max emitted depth mirrors the loop
+        // (initial frontier at depth 1 + maxIter expansions)
+        localBfsFrame(spark.sparkContext.broadcast(adj),
+          pe.select(col("child")), maxDepth = maxIter + 1, guardDepth = false,
+          schema, emitDist = false)
+      case None =>
+        val e = pe.localCheckpoint()
+        var frontier = e.select(col("child").as("node"), col("parent").as("anc"))
+          .distinct().localCheckpoint(false)
+        var acc = frontier
+        var iter = 0
+        var done = frontier.count() == 0
+        while (!done && iter < maxIter) {
+          // next level: (node, anc) ⋈ (anc=child, parent) → (node, parent)
+          val next = frontier.join(e, frontier("anc") === e("child"))
+            .select(frontier("node"), e("parent").as("anc"))
+            .distinct()
+            .join(acc, Seq("node", "anc"), "left_anti")
+            .localCheckpoint(false)
+          done = next.count() == 0
+          if (!done) {
+            acc = acc.union(next)
+            frontier = next
+          }
+          iter += 1
+        }
+        acc
+    }
+  }
+
+  /** G2 descendants of `roots`: BFS DOWN the tree from the roots themselves
+    * (reversed edges), so the work is O(answer), never the full closure
+    * filtered after the fact — on a deep 100×-scale DAG the full closure is
+    * O(V·depth) rows to answer a question about a few roots. Same
+    * dimension-scale local path / fact-scale frontier loop as
+    * [[ancestorClosure]]. */
+  def descendants(edges: DataFrame, roots: DataFrame, maxIter: Int = 64,
+                  edgeCap: Long = BroadcastEdgeCap)
+                 (implicit spark: SparkSession): DataFrame = {
+    val pe = edges.select(col("child"), col("parent"))
+    collectAdjacency(pe, keyIdx = 1, valIdx = 0, edgeCap) match {
+      case Some(adj) =>
+        val r = roots.select(col("root"))
+        val schema = StructType(Seq(
+          StructField("root", r.schema(0).dataType),
+          StructField("descendant", pe.schema(0).dataType)))
+        localBfsFrame(spark.sparkContext.broadcast(adj), r,
+          maxDepth = maxIter + 1, guardDepth = false, schema, emitDist = false)
+      case None =>
+        val e = pe.localCheckpoint()
+        val r = roots.select(col("root")).distinct()
+        var frontier = e.join(r, e("parent") === r("root"))
+          .select(col("root"), col("child").as("descendant"))
+          .distinct().localCheckpoint(false)
+        var acc = frontier
+        var iter = 0
+        var done = frontier.count() == 0
+        while (!done && iter < maxIter) {
+          val next = frontier.join(e, frontier("descendant") === e("parent"))
+            .select(frontier("root"), e("child").as("descendant"))
+            .distinct()
+            .join(acc, Seq("root", "descendant"), "left_anti")
+            .localCheckpoint(false)
+          done = next.count() == 0
+          if (!done) {
+            acc = acc.union(next)
+            frontier = next
+          }
+          iter += 1
+        }
+        acc
+    }
   }
 
   /** G3 shortest-path distances: min directed hop count from each root in
@@ -104,16 +228,14 @@ object Graph {
     *
     * The reference answers path queries with `nx.shortest_path` over its
     * DiGraph (`2nd Place/src/snomed_graph.py:284-320` find_path, which BFS's
-    * sctid1→sctid2 and falls back to the reverse direction); here the same
-    * answer is level-synchronous frontier BFS as iterative Dataset joins —
-    * the first level a node is reached at IS its min distance, so novelty
-    * (left_anti vs the accumulator) doubles as the min() and no per-node
-    * relaxation state is needed. O(diameter) rounds, each one shuffle on
-    * the frontier (O(answer) rows, never the closure), `localCheckpoint`
-    * per round to cut lineage — the q19/G2 skeleton. */
-  def shortestPaths(edges: DataFrame, roots: DataFrame, maxDist: Int = 64)
+    * sctid1→sctid2 and falls back to the reverse direction); here the first
+    * level a node is reached at IS its min distance, so the visited set
+    * (local path) / left_anti novelty (loop path) doubles as the min() and
+    * no per-node relaxation state is needed. */
+  def shortestPaths(edges: DataFrame, roots: DataFrame, maxDist: Int = 64,
+                    edgeCap: Long = BroadcastEdgeCap)
                    (implicit spark: SparkSession): DataFrame =
-    bfsDistances(edges, roots, maxDist, truncateOk = false)
+    bfsDistances(edges, roots, maxDist, truncateOk = false, edgeCap)
 
   /** Shared BFS core. `truncateOk = false` FAILS LOUDLY when nodes beyond
     * maxDist were actually cut off — a silently truncated distance table
@@ -125,44 +247,53 @@ object Graph {
     * `truncateOk = true` is the semantic k-hop bound of
     * [[neighbourhood]]. */
   private def bfsDistances(edges: DataFrame, roots: DataFrame, maxDist: Int,
-                           truncateOk: Boolean)
+                           truncateOk: Boolean, edgeCap: Long)
                           (implicit spark: SparkSession): DataFrame = {
-    val e = edges.select(col("child"), col("parent")).localCheckpoint()
-    val eJ = maybeBroadcast(e)
-    val r = roots.select(col("root")).distinct()
-    // dist 1: direct children of each root (root→node via parent→child);
-    // same broadcast-edges + lazy-checkpoint/one-action-per-round shape as
-    // ancestorClosure
-    var frontier = eJ.join(r, e("parent") === r("root"))
-      .select(col("root"), col("child").as("node"), lit(1).as("dist"))
-      .distinct().localCheckpoint(false)
-    var acc = frontier
-    var d = 1
-    var done = frontier.count() == 0
-    while (!done && d < maxDist) {
-      val next = frontier.join(eJ, frontier("node") === e("parent"))
-        .select(frontier("root"), e("child").as("node"),
-          (frontier("dist") + 1).as("dist"))
-        .distinct()
-        .join(acc, Seq("root", "node"), "left_anti")
-        .localCheckpoint(false)
-      done = next.count() == 0
-      if (!done) {
-        acc = acc.union(next)
-        frontier = next
-      }
-      d += 1
+    val pe = edges.select(col("child"), col("parent"))
+    collectAdjacency(pe, keyIdx = 1, valIdx = 0, edgeCap) match {
+      case Some(adj) =>
+        val r = roots.select(col("root"))
+        val schema = StructType(Seq(
+          StructField("root", r.schema(0).dataType),
+          StructField("node", pe.schema(0).dataType),
+          StructField("dist", IntegerType, nullable = false)))
+        localBfsFrame(spark.sparkContext.broadcast(adj), r,
+          maxDepth = maxDist, guardDepth = !truncateOk, schema, emitDist = true)
+      case None =>
+        val e = pe.localCheckpoint()
+        val r = roots.select(col("root")).distinct()
+        // dist 1: direct children of each root (root→node via parent→child)
+        var frontier = e.join(r, e("parent") === r("root"))
+          .select(col("root"), col("child").as("node"), lit(1).as("dist"))
+          .distinct().localCheckpoint(false)
+        var acc = frontier
+        var d = 1
+        var done = frontier.count() == 0
+        while (!done && d < maxDist) {
+          val next = frontier.join(e, frontier("node") === e("parent"))
+            .select(frontier("root"), e("child").as("node"),
+              (frontier("dist") + 1).as("dist"))
+            .distinct()
+            .join(acc, Seq("root", "node"), "left_anti")
+            .localCheckpoint(false)
+          done = next.count() == 0
+          if (!done) {
+            acc = acc.union(next)
+            frontier = next
+          }
+          d += 1
+        }
+        if (!done && !truncateOk) {
+          val cutOff = !frontier.join(e, frontier("node") === e("parent"))
+            .select(frontier("root"), e("child").as("node"))
+            .join(acc, Seq("root", "node"), "left_anti")
+            .isEmpty
+          require(!cutOff,
+            s"shortestPaths: nodes remain beyond maxDist=$maxDist — the " +
+              "distance table would be silently truncated; raise maxDist")
+        }
+        acc
     }
-    if (!done && !truncateOk) {
-      val cutOff = !frontier.join(eJ, frontier("node") === e("parent"))
-        .select(frontier("root"), e("child").as("node"))
-        .join(acc, Seq("root", "node"), "left_anti")
-        .isEmpty
-      require(!cutOff,
-        s"shortestPaths: nodes remain beyond maxDist=$maxDist — the " +
-          "distance table would be silently truncated; raise maxDist")
-    }
-    acc
   }
 
   /** G3 neighbourhood: every node within `steps` UNDIRECTED hops of each
@@ -172,12 +303,13 @@ object Graph {
     * [[shortestPaths]] over the symmetrized edge set; the reference also
     * drops its global root concept — callers exclude domain roots by
     * filtering `node` before/after. */
-  def neighbourhood(edges: DataFrame, roots: DataFrame, steps: Int)
+  def neighbourhood(edges: DataFrame, roots: DataFrame, steps: Int,
+                    edgeCap: Long = BroadcastEdgeCap)
                    (implicit spark: SparkSession): DataFrame = {
     require(steps > 0, "neighbourhood: steps must be > 0")
     val sym = edges.select(col("child"), col("parent"))
       .union(edges.select(col("parent").as("child"), col("child").as("parent")))
-    bfsDistances(sym, roots, maxDist = steps, truncateOk = true)
+    bfsDistances(sym, roots, maxDist = steps, truncateOk = true, edgeCap)
       .filter(col("node") =!= col("root"))
   }
 

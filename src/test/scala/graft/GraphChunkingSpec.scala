@@ -21,6 +21,38 @@ class GraphChunkingSpec extends AnyFunSuite with SparkTestBase {
     assert(desc == Set((2L, 4L), (2L, 5L), (2L, 7L)))
   }
 
+  test("BFS local fast path ≡ frontier-join loop (differential, incl. a cycle)") {
+    // tree + diamond (7 has parents 4 AND 5) + cycle 1→7→5→2→1 (child, parent)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L), (7L, 5L),
+      (7L, 4L), (1L, 7L)).toDF("child", "parent")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).toSet
+    // edgeCap = 0 forces the fact-scale frontier loop; default takes the
+    // collected-adjacency local path — outputs must be row-identical
+    assert(pairs(Graph.ancestorClosure(edges)) ==
+      pairs(Graph.ancestorClosure(edges, edgeCap = 0)))
+    val roots = Seq(1L, 6L).toDF("root")
+    assert(pairs(Graph.descendants(edges, roots)) ==
+      pairs(Graph.descendants(edges, roots, edgeCap = 0)))
+    assert(pairs(Graph.shortestPaths(edges, roots)) ==
+      pairs(Graph.shortestPaths(edges, roots, edgeCap = 0)))
+    assert(pairs(Graph.neighbourhood(edges, roots, steps = 2)) ==
+      pairs(Graph.neighbourhood(edges, roots, steps = 2, edgeCap = 0)))
+    // the cycle reaches the root itself: (1, 1) must be in the closure
+    assert(pairs(Graph.ancestorClosure(edges)).contains(List(1L, 1L)))
+    // the loud maxDist truncation guard fires identically on BOTH paths
+    val chain = (2L to 6L).map(i => (i, i - 1)).toDF("child", "parent")
+    val exLocal = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(chain, Seq(1L).toDF("root"), maxDist = 3).collect()
+    }
+    assert(exLocal.getMessage.contains("maxDist"))
+    val exLoop = intercept[IllegalArgumentException] {
+      Graph.shortestPaths(chain, Seq(1L).toDF("root"), maxDist = 3, edgeCap = 0)
+        .collect()
+    }
+    assert(exLoop.getMessage.contains("maxDist"))
+  }
+
   test("isolate removal keeps only edge endpoints") {
     val nodes = Seq(1L, 2L, 3L, 99L).toDF("id")
     val edges = Seq((2L, 1L), (3L, 1L)).toDF("child", "parent")
