@@ -42,14 +42,64 @@ object ConnectedComponents {
     * the same envelope as Spark's own hash-aggregate maps. */
   private[operators] val ContractCap = 1 << 22
 
+  /** Max edge rows for which the whole component problem is solved by ONE
+    * driver-side union-find instead of the star loop (r6, guide §1.2): the
+    * r5 contraction already ran an in-memory union-find per PARTITION —
+    * when the entire (already-checkpointed) edge set fits the same few-
+    * hundred-MB envelope, running it once over all edges removes every
+    * star round, signature action and assignment shuffle. The probe is a
+    * bounded `limit(cap+1)` collect from the checkpoint cache, so driver
+    * intake can never exceed the cap; beyond it the loop runs unchanged
+    * (fact-scale edge sets — the 100 TB mention graph — keep the
+    * distributed algorithm). */
+  private[operators] val LocalSolveCap = 1 << 21
+
+  /** Spark's default StringType collation is UTF8 binary — least/greatest
+    * compare the UTF-8 byte sequences unsigned, which DIVERGES from Java's
+    * UTF-16 `String.compareTo` for supplementary characters. The local
+    * solve must pick the same component representative the star loop
+    * would, so its string ordering replays the byte comparison exactly. */
+  private val Utf8Ordering: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = {
+      val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
   /** edges(a, b) → assignment(id, component) for every endpoint. */
-  def apply(edgesIn: DataFrame, maxIter: Int = 40)
+  def apply(edgesIn: DataFrame, maxIter: Int = 40,
+            localCap: Long = LocalSolveCap)
            (implicit spark: SparkSession): DataFrame = {
     // materialize the input once: cuts whatever upstream plan produced the
     // edges (UDF filters, joins) so the iteration joins against a stable
     // leaf — required for the loop anyway, and avoids re-executing the
     // upstream pipeline for the nodes scan
     val edges0 = edgesIn.select(col("a"), col("b")).localCheckpoint()
+
+    // dimension-scale fast path: one driver union-find over the collected
+    // edge set, component = min member under the SAME ordering the loop's
+    // least/greatest would compute (see Utf8Ordering)
+    val idType = edges0.schema.head.dataType
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case StringType => Some(Utf8Ordering)
+      case _ => None
+    }
+    if (localOrd.nonEmpty && localCap > 0) {
+      val rows = edges0.limit((localCap + 1).toInt).collect()
+      if (rows.length <= localCap)
+        return localAssignments(rows, idType, localOrd.get)
+    }
+
     val nodes = edges0.select(col("a").as("id")).toDF("id")
       .union(edges0.select(col("b").as("id")).toDF("id")).distinct()
 
@@ -85,6 +135,50 @@ object ConnectedComponents {
       .groupBy("id").agg(min(col("component")).as("component"))
     nodes.join(assign, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** The whole-graph union-find behind the dimension-scale fast path:
+    * every endpoint becomes a node (self-loops and null-sided rows
+    * register their endpoints but never union — exactly what the loop's
+    * `a =!= b` null-rejecting filter plus the nodes-scan left_outer
+    * coalesce produce), roots are kept at the ordering minimum, and each
+    * node maps to its root — the min member of its component, the same
+    * label the converged star rounds assign. */
+  private def localAssignments(rows: Array[org.apache.spark.sql.Row],
+                               idType: org.apache.spark.sql.types.DataType,
+                               ord: Ordering[Any])
+                              (implicit spark: SparkSession): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.get(0)
+      val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      if (a != null && b != null && a != b) {
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    val keys = parent.keySet().toArray
+    keys.foreach { k => out += org.apache.spark.sql.Row(k, find(k)) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism, 1 + out.size / 4096))),
+      schema)
   }
 
   private def signature(edges: DataFrame): (Long, String) = {

@@ -87,6 +87,37 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(results.distinct.size == 1)
   }
 
+  test("local union-find fast path ≡ star loop (differential, incl. collation edge)") {
+    // pseudo-random string graph: localCap = 0 forces the distributed loop
+    val edges = (0 until 400).map { i =>
+      val u = graft.fixtures.Synth.hn(120, i.toLong, 5L)
+      val v = graft.fixtures.Synth.hn(120, i.toLong, 6L)
+      (f"w$u%03d", f"w$v%03d")
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(asMap(ConnectedComponents(edges.toDF("a", "b"))) ==
+      asMap(ConnectedComponents(edges.toDF("a", "b"), localCap = 0)))
+    // supplementary character vs high-BMP char: Java String.compareTo says
+    // U+1F600 < U+FFFD (surrogate 0xD83D < 0xFFFD) but Spark's UTF8 binary
+    // collation says U+FFFD < U+1F600 (EF BF BD < F0 9F 98 80) — the local
+    // path must pick the loop's representative, not the JVM's
+    val emoji = new String(Character.toChars(0x1F600))
+    val tricky = Seq((emoji, "\uFFFD"), ("zz", "zy")).toDF("a", "b")
+    val local = asMap(ConnectedComponents(tricky))
+    val loop = asMap(ConnectedComponents(tricky, localCap = 0))
+    assert(local == loop)
+    assert(local(emoji) == "\uFFFD") // the UTF8-binary minimum
+    // long-typed differential too (q19's id domain)
+    val lEdges = ((1L until 200L).map(i => (i - 1, i)) ++ Seq((500L, 500L)))
+      .toDF("a", "b")
+    val l1 = ConnectedComponents(lEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l2 = ConnectedComponents(lEdges, localCap = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == l2 && l1(500L) == 500L)
+  }
+
   test("contraction cap overflow passes edges through with connectivity intact") {
     // cap=4 distinct nodes: most of the chain overflows to passthrough;
     // the emitted edge set must still connect the full chain
