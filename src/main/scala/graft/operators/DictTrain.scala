@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   *  - dict scored against training annotations (+1 exact
   *    span+concept match / −1 otherwise), keys dropped when
   *    correct < θ · incorrect                               [M5/A5/O6, mimic_train.py:66-134,243-263]
+  *
+  * Join strategy: every side that is bounded by the DICTIONARY or the
+  * terminology (per-key score tallies, uc-norm list, bad-key list, concept
+  * types, gold-per-concept counts, abbreviation/mapping tables) carries an
+  * explicit `broadcast` hint — the gazetteer already collects the whole
+  * dictionary to the driver (`DictionaryMatch.collectDict`, hard-capped),
+  * so these strictly-smaller relations fit the same memory envelope, and
+  * the hint turns a sort-merge join (two exchanges + sorts + a stage
+  * barrier each) into a broadcast hash join. Corpus-scale sides (mentions,
+  * golds, scored predictions) are never hinted.
   */
 object DictTrain {
 
@@ -74,7 +84,7 @@ object DictTrain {
     import spark.implicits._
     val c = concepts.filter(_.active == 1).toDF()
     val d = descriptions.filter(_.active == 1).toDF()
-    c.join(d, "concept_id")
+    broadcast(c).join(d, "concept_id")
       .filter(length(col("term")) >= 3 &&
         !col("term").contains("machine translation") &&
         // reference: reject when "]" present and "[" first appears past pos 5
@@ -101,7 +111,7 @@ object DictTrain {
     import spark.implicits._
     extConcepts
       .filter(!col("vocabulary").isin(invalidVocabs: _*)) // P4 vocab blacklist
-      .join(extMappings.filter(col("relationship") === "Maps to"),
+      .join(broadcast(extMappings.filter(col("relationship") === "Maps to")),
         col("ext_id") === col("ext_id_1"))
       .select(lit("any").as("section"),
         normalizeUdf(col("name")).as("mention"),
@@ -115,7 +125,7 @@ object DictTrain {
   def abbreviationEntries(abbr: DataFrame, dict: Dataset[DictEntry])
                          (implicit spark: SparkSession): Dataset[DictEntry] = {
     import spark.implicits._
-    abbr.join(dict.toDF(),
+    broadcast(abbr).join(dict.toDF(),
         normalizeUdf(col("meaning")) === col("mention"))
       .select(col("section"), normalizeUdf(col("abbr")).as("mention"), col("concept_id"))
       .filter(length(col("mention")) >= 3)
@@ -311,7 +321,7 @@ object DictTrain {
     import spark.implicits._
     val removeUdf = udf((c: Long, i: Long, s: String) =>
       naiveRemove(c, i, s, doubleThr = false, thAny, thDict))
-    dict.toDF().join(byNote, Seq("section", "mention"), "left_outer")
+    dict.toDF().join(broadcast(byNote), Seq("section", "mention"), "left_outer")
       .filter(col("n_correct").isNull ||
         !removeUdf(col("n_correct"), col("n_incorrect"), col("section")))
       .select(col("section"), col("mention"), col("concept_id"))
@@ -353,8 +363,8 @@ object DictTrain {
     val goldCounts = golds.toDF().groupBy(col("concept_id"))
       .agg(count(lit(1)).as("n_gold"))
     val scoredKeys = dict.toDF()
-      .join(byMention, Seq("section", "mention"))
-      .join(goldCounts, Seq("concept_id")) // only concepts with gold are visited
+      .join(broadcast(byMention), Seq("section", "mention"))
+      .join(broadcast(goldCounts), Seq("concept_id")) // only concepts with gold are visited
       .select(col("concept_id"), col("section"), col("mention"),
         col("n_correct"), col("n_incorrect"), col("n_gold"))
       .as[(Long, String, String, Long, Long, Long)]
@@ -364,7 +374,7 @@ object DictTrain {
       badKeysForConcept(
         rows.map(r => ((r._2, r._3), (r._4, r._5))), n, thAny, thDict).iterator
     }.toDF("section", "mention")
-    dict.toDF().join(badKeys, Seq("section", "mention"), "left_anti")
+    dict.toDF().join(broadcast(badKeys), Seq("section", "mention"), "left_anti")
       .select(col("section"), col("mention"), col("concept_id"))
       .as[DictEntry]
   }
@@ -400,7 +410,7 @@ object DictTrain {
     val mentions = mentionsDf
       .select(col("doc_id"), col("start"), col("end"), col("section"))
     mentions.join(golds.toDF(), Seq("doc_id", "start", "end"))
-      .join(cidToType, "concept_id")
+      .join(broadcast(cidToType), "concept_id")
       .select(col("ctype"), col("section"))
       .distinct()
   }
@@ -472,9 +482,9 @@ object DictTrain {
     val docsP = if (docsPersistedHere) docs.persist(MEMORY_AND_DISK) else docs
     val goldsP = if (goldsPersistedHere) golds.persist(MEMORY_AND_DISK) else golds
     val mentions = LinkagePipeline.mentionsFromSpans(docsP, goldsP).toDF()
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // 1. harvest (mock_train's build_dict + unique-majority)
-    val harvested = dictFromMentions(mentions, goldsP).persist(MEMORY_AND_DISK)
+    val harvested = dictFromMentions(mentions, goldsP).localCheckpoint(false)
     // 2. uc split FIRST (vs the reference's post-scoring
     //    extract_uppercase_mentions): an uppercase-only key scored by the
     //    case-FOLDED matcher drowns in its lowercase homographs ("THE" vs
@@ -483,12 +493,12 @@ object DictTrain {
     //    (`mimic_predict.py:get_case_sensitive_dict`). Splitting before
     //    scoring derives that dict instead of hardcoding it.
     val ucNorms = uppercaseMentionsOf(mentions).select(col("norm"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(false)
     def splitUc(d: Dataset[DictEntry]): (Dataset[DictEntry], Dataset[DictEntry]) = {
-      val uc = d.toDF().join(ucNorms, col("mention") === col("norm"))
+      val uc = d.toDF().join(broadcast(ucNorms), col("mention") === col("norm"))
         .select(col("section"), upper(col("mention")).as("mention"), col("concept_id"))
         .distinct().as[DictEntry]
-      val lc = d.toDF().join(ucNorms, col("mention") === col("norm"), "left_anti")
+      val lc = d.toDF().join(broadcast(ucNorms), col("mention") === col("norm"), "left_anti")
         .as[DictEntry]
       (lc, uc)
     }
@@ -496,7 +506,7 @@ object DictTrain {
     // 3. score the lowercase harvested dict with the two-pointer alignment,
     //    then naive by-note removal + greedy per-concept refinement
     val scored = scoredPredictions(docsP, goldsP, lcHarvested)
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val naive = pruneNaiveKeys(lcHarvested, keyScoresByNote(scored), thAny, thDict)
     // r6 (guide §5): persist `core` — it feeds the expansion union, the
     // cond-update anti-join AND both branches of the final union, and each
@@ -507,7 +517,7 @@ object DictTrain {
     // between the ~16 s phase sum and the ~28 s full train).
     val core =
       (if (greedy) pruneGreedyKeys(naive, keyScoresByMention(scored), goldsP, thAny, thDict)
-       else naive).persist(MEMORY_AND_DISK)
+       else naive).localCheckpoint(false)
     // 4. externals added COND-UPDATE style (`cond_update`: a key already
     //    trained on the corpus is never overwritten by a synonym);
     //    case-folded external abbreviations are routed through the same
@@ -539,14 +549,14 @@ object DictTrain {
     // consumers below (the union and the abbreviation join) and would
     // otherwise be computed twice
     val expanded = expandEntries(core.union(term).union(ext), permBlacklist)
-      .distinct().persist(MEMORY_AND_DISK)
+      .distinct().localCheckpoint(false)
     // r6: the union-level distinct that sat here was redundant — duplicate
     // rows pass the anti-join unchanged and the `full` distinct right
     // below dedups them; dropping it removes one full-width exchange and
     // its stage barrier (guide §2.4).
     val withAbbr = expanded.union(abbreviationEntries(abbr, expanded))
     val extAdd = withAbbr.toDF()
-      .join(core.toDF().select(col("section"), col("mention")),
+      .join(broadcast(core.toDF().select(col("section"), col("mention"))),
         Seq("section", "mention"), "left_anti")
       .as[DictEntry]
     // r6 (guide §5): persist `full` — splitUc consumes it twice and the
@@ -555,7 +565,7 @@ object DictTrain {
     // subtree.
     val full = core.toDF().toDF("section", "mention", "concept_id")
       .union(extAdd.toDF().toDF("section", "mention", "concept_id"))
-      .distinct().as[DictEntry].persist(MEMORY_AND_DISK)
+      .distinct().as[DictEntry].localCheckpoint(false)
     val (lcDict, ucExternal) = splitUc(full)
     val ucDict = ucHarvested.toDF().toDF("section", "mention", "concept_id")
       .union(ucExternal.toDF().toDF("section", "mention", "concept_id"))
@@ -577,8 +587,6 @@ object DictTrain {
     // ONE action materializes both caches (computing the union computes —
     // and therefore caches — every partition of both persisted inputs)
     lcOut.toDF().union(ucOut.toDF()).count()
-    mentions.unpersist(); harvested.unpersist(); ucNorms.unpersist(); scored.unpersist()
-    expanded.unpersist(); core.unpersist(); full.unpersist()
     if (docsPersistedHere) docsP.unpersist()
     if (goldsPersistedHere) goldsP.unpersist()
     (lcOut, ucOut)

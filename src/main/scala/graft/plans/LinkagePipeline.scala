@@ -211,7 +211,10 @@ object LinkagePipeline {
     // Pinned identical to CC over the uncontracted union in LinkageF1Spec.
     val termConcept = d.select(concat(lit("t:"), col("mention")).as("b"),
       concat(lit("c:"), col("concept_id")).as("concept_node"))
-    val contracted = simEdges.join(termConcept, "b")
+    // termConcept is dict-scale (one row per unambiguous dictionary term,
+    // corpus-independent) — broadcast it so the contraction join never
+    // shuffles the argmax edges
+    val contracted = simEdges.join(broadcast(termConcept), "b")
       .select(col("a"), col("concept_node").as("b"))
     val components = ConnectedComponents(contracted)
       .union(termConcept.select(col("b").as("id"), col("concept_node").as("component")))
@@ -269,7 +272,7 @@ object LinkagePipeline {
     val termConcept = d.select(concat(lit("t:"), col("mention")).as("b"),
       concat(lit("c:"), col("concept_id")).as("concept_node"))
     val edges = runner.stage("edges") {
-      argmaxEdges(scored).join(termConcept, "b")
+      argmaxEdges(scored).join(broadcast(termConcept), "b")
         .select(col("a"), col("concept_node").as("b"))
     }
     val components = runner.stage("components") {
