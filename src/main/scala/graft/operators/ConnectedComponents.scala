@@ -96,8 +96,16 @@ object ConnectedComponents {
     }
     if (localOrd.nonEmpty && localCap > 0) {
       val rows = edges0.limit((localCap + 1).toInt).collect()
-      if (rows.length <= localCap)
+      if (rows.length <= localCap) {
+        // the checkpointed input is fully consumed — free its blocks now
+        // instead of waiting for GC (matters for repeated-sample benches)
+        edges0.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ => ()
+        }
         return localAssignments(rows, idType, localOrd.get)
+      }
     }
 
     val nodes = edges0.select(col("a").as("id")).toDF("id")

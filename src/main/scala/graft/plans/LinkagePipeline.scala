@@ -33,9 +33,21 @@ object LinkagePipeline {
                     keyFreq: DataFrame,     // (key, freq) skew report
                     nodeKeys: DataFrame = null, // (id, key) node-level keys (keyFreq's input)
                     persisted: Seq[DataFrame] = Seq.empty) {
-    /** Unpersist every DataFrame `run` cached — call once the outputs are
-      * materialized (or when evicting a memoized Result). */
-    def release(): Unit = persisted.foreach(_.unpersist())
+    /** Release every DataFrame `run` cached — call once the outputs are
+      * materialized (or when evicting a memoized Result). Handles both
+      * persisted frames (unpersist) and lazily localCheckpoint'd frames,
+      * whose blocks live on the underlying RDD rather than in the SQL
+      * cache manager — those are freed by unpersisting the LogicalRDD
+      * leaves directly (otherwise they linger until GC, which matters for
+      * the repeated-sample bench protocol at ladder scale). */
+    def release(): Unit = persisted.foreach { df =>
+      df.unpersist()
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
   }
 
   /** Extract mention nodes for labeled spans via typed cogroup — the doc text
@@ -173,9 +185,17 @@ object LinkagePipeline {
     // final assignment join) — without persistence every reuse re-runs doc
     // generation + the mention cogroup + minhashing, which was the dominant
     // non-scaling cost in the bench
-    val nodes = surfaceNodesOf(mentions, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // r6 second session: the multi-consumer frames below are cached via
+    // LAZY localCheckpoint instead of persist — same storage level, same
+    // one-evaluation guarantee, but each boundary presents a LogicalRDD
+    // leaf to everything above it, so the ~10 downstream actions plan
+    // against small trees instead of re-analyzing the full cached lineage
+    // (the dict_train lesson: the formatted plan shrank >100x and the
+    // driver-side planning cost with it). `Result.release()` frees the
+    // checkpoint blocks explicitly.
+    val nodes = surfaceNodesOf(mentions, d).localCheckpoint(false)
 
-    val keysN = Blocking.blockKeysWithNorm(nodes).persist(StorageLevel.MEMORY_AND_DISK)
+    val keysN = Blocking.blockKeysWithNorm(nodes).localCheckpoint(false)
     val keys = keysN.select(col("id"), col("key"))
     val keyFreq = Blocking.keyFrequencies(keys)
     // BIPARTITE blocking: the argmax link step only consumes surface→term
@@ -218,7 +238,7 @@ object LinkagePipeline {
       .select(col("a"), col("concept_node").as("b"))
     val components = ConnectedComponents(contracted)
       .union(termConcept.select(col("b").as("id"), col("concept_node").as("component")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     val nodeAssignments = nodes.select(col("id"))
       .join(components, Seq("id"), "left_outer")
@@ -227,7 +247,7 @@ object LinkagePipeline {
     // (pair side a and side b) and the clusters query counts them first;
     // un-persisted, each consumer re-ran the mention/node assignment joins.
     val assignments = mentionAssignments(mentions, components).union(nodeAssignments)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     // mention-level block keys (for the F1 universe / skew diagnostics):
     // PERSISTED — the F1 gate consumes this table twice (universe self-join
@@ -238,7 +258,7 @@ object LinkagePipeline {
         col("norm").as("mnorm"))
       .join(keysN.select(col("norm"), col("key")).distinct(), col("mnorm") === col("norm"))
       .select(col("id"), col("key"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     Result(assignments, scored, mentionKeys, keyFreq, nodeKeys = keys,
       persisted = Seq(nodes, keysN, components, mentionKeys, assignments) ++
         (if (persistScored) Seq(scored) else Nil))

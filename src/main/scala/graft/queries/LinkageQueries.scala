@@ -99,7 +99,7 @@ object LinkageQueries {
       // doc⋈gold cogroup shuffle once per consumer (~2 s each at sf0.1).
       // Tracked in Result.persisted so release() frees it with the rest.
       val mentions = LinkagePipeline.mentionsFromSpans(d, g)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val r = LinkagePipeline.run(mentions, dict(s, n))
       r.copy(persisted = r.persisted :+ mentions.toDF)
     })

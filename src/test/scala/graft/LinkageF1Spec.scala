@@ -69,6 +69,23 @@ class LinkageF1Spec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("Result.release frees the checkpointed pipeline caches") {
+    val mentions = LinkagePipeline.mentionsFromSpans(docs, golds)
+      .localCheckpoint(false)
+    val r = LinkagePipeline.run(mentions, dict)
+    r.assignments.count()
+    // every lazily-checkpointed frame release() must free is a LogicalRDD
+    // leaf whose block lives on the RDD, invisible to unpersist()
+    val ckptIds = r.persisted.flatMap(df => df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    })
+    assert(ckptIds.nonEmpty)
+    r.release()
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = ckptIds.filter(live.contains)
+    assert(leaked.isEmpty, s"release() left checkpoint blocks cached: $leaked")
+  }
+
   test("no component merges two distinct concepts") {
     val mentions = LinkagePipeline.mentionsFromSpans(docs, golds)
     val result = LinkagePipeline.run(mentions, dict)
