@@ -145,15 +145,19 @@ object Metrics {
     * (3) from a single hash-aggregated pass — same distinct-set semantics,
     * two upstream evaluations inside one job, one driver barrier. */
   def pairwiseF1(pred: DataFrame, gold: DataFrame): (Double, Double, Double) = {
-    val tagged = pred.select(col("a"), col("b")).distinct()
-      .select(col("a"), col("b"), lit(1).as("s"))
-      .unionByName(gold.select(col("a"), col("b")).distinct()
-        .select(col("a"), col("b"), lit(2).as("s")))
-    val row = tagged.groupBy(col("a"), col("b")).agg(sum(col("s")).as("s"))
+    // presence flags + max-aggregation instead of per-side distinct + tag
+    // sum: identical set semantics (max(p)/max(g) is exactly "appears in
+    // pred/gold"), but the pair bags cross ONE exchange (the groupBy, with
+    // map-side partial max deduplicating early) instead of three (two
+    // distincts + the tag-sum groupBy)
+    val tagged = pred.select(col("a"), col("b"), lit(1).as("p"), lit(0).as("g"))
+      .unionByName(gold.select(col("a"), col("b"), lit(0).as("p"), lit(1).as("g")))
+    val row = tagged.groupBy(col("a"), col("b"))
+      .agg(max(col("p")).as("p"), max(col("g")).as("g"))
       .agg(
-        count(when(col("s") === 1 || col("s") === 3, 1)).as("np"),
-        count(when(col("s") === 2 || col("s") === 3, 1)).as("ng"),
-        count(when(col("s") === 3, 1)).as("ni")).head()
+        count(when(col("p") === 1, 1)).as("np"),
+        count(when(col("g") === 1, 1)).as("ng"),
+        count(when(col("p") === 1 && col("g") === 1, 1)).as("ni")).head()
     val np = row.getLong(0).toDouble
     val ng = row.getLong(1).toDouble
     val ni = row.getLong(2).toDouble
