@@ -579,14 +579,18 @@ object DictTrain {
         limitAnyToAllowedSections(lcDict, allowedSectionsOf(mentions, goldsP, cidToType), cidToType)
       } else lcDict
     // materialize the two output dictionaries eagerly so every intermediate
-    // cache (and the input frames, if we persisted them) can be released
-    // here — callers get small persisted dicts with no live lineage into
-    // the corpus
+    // checkpoint (and the input frames, if we persisted them) can be freed
+    // here — callers get small persisted dicts whose blocks never need the
+    // intermediates again (local mode: MEMORY_AND_DISK spills, it does not
+    // drop, so the freed lineage is never re-entered)
     val lcOut = lcFinal.persist(MEMORY_AND_DISK)
     val ucOut = ucDict.persist(MEMORY_AND_DISK)
     // ONE action materializes both caches (computing the union computes —
     // and therefore caches — every partition of both persisted inputs)
     lcOut.toDF().union(ucOut.toDF()).count()
+    // checkpoint blocks live on the RDD, invisible to Dataset.unpersist —
+    // free them explicitly so repeated-sample benches don't accumulate them
+    freeCheckpoints(mentions, harvested, ucNorms, scored, expanded, core, full)
     if (docsPersistedHere) docsP.unpersist()
     if (goldsPersistedHere) goldsP.unpersist()
     (lcOut, ucOut)
@@ -683,6 +687,17 @@ object DictTrain {
       .select(col("doc_id"), col("start"), col("end"), col("norm").as("name"), col("section"))
     sectionStatsFlat(mentions.join(golds.toDF(), Seq("doc_id", "start", "end")))
   }
+
+  /** Unpersist the underlying RDD of lazily-localCheckpoint'd frames (the
+    * SQL cache manager never sees those blocks). Only the frame's OWN root
+    * is freed — lineage below it is untouched. */
+  private def freeCheckpoints(dfs: Dataset[_]*): Unit =
+    dfs.foreach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
 
   val normalizeUdf = udf((s: String) => TextFns.normalize(s))
 }

@@ -36,12 +36,16 @@ object Graph {
 
   /** Bounded collect of a dimension-scale edge relation into an adjacency
     * map keyed by column `keyIdx` with neighbor column `valIdx`; None when
-    * the relation exceeds `cap` (caller falls back to the frontier loop). */
+    * the relation exceeds `cap` — or contains a NULL endpoint (the
+    * frontier loop's `===` joins are null-rejecting in ways a hash-map
+    * walk is not, so null-bearing graphs take the loop path whose
+    * semantics are the contract) — and the caller falls back. */
   private def collectAdjacency(e: DataFrame, keyIdx: Int, valIdx: Int, cap: Long)
       : Option[java.util.HashMap[Any, Array[Any]]] = {
     if (cap <= 0) return None
-    val rows = e.limit((cap + 1).toInt).collect()
+    val rows = e.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
     if (rows.length > cap) None
+    else if (rows.exists(r => r.isNullAt(keyIdx) || r.isNullAt(valIdx))) None
     else {
       val m = new java.util.HashMap[Any, ArrayBuffer[Any]]()
       rows.foreach { r =>
@@ -93,14 +97,13 @@ object Graph {
     * IllegalArgumentException is re-thrown as itself to keep the
     * operator's documented failure type. */
   private def localBfsFrame(adjB: Broadcast[java.util.HashMap[Any, Array[Any]]],
-                            roots: DataFrame, maxDepth: Int, guardDepth: Boolean,
+                            rootsRdd: org.apache.spark.rdd.RDD[Any],
+                            maxDepth: Int, guardDepth: Boolean,
                             schema: StructType, emitDist: Boolean)
                            (implicit spark: SparkSession): DataFrame = {
-    val r = roots.distinct()
-    val rdd = r.rdd.mapPartitions { it =>
+    val rdd = rootsRdd.mapPartitions { it =>
       val adj = adjB.value
-      it.flatMap { row =>
-        val root = row.get(0)
+      it.flatMap { root =>
         val (out, lastLevel, visited) = localBfs(adj, root, maxDepth)
         if (guardDepth && lastLevel.nonEmpty) {
           val cutOff = lastLevel.exists(n =>
@@ -149,10 +152,18 @@ object Graph {
         val schema = StructType(Seq(
           StructField("node", pe.schema(0).dataType),
           StructField("anc", pe.schema(1).dataType)))
-        // roots = every distinct child; max emitted depth mirrors the loop
-        // (initial frontier at depth 1 + maxIter expansions)
+        // roots = every distinct child = exactly the adjacency's key set,
+        // already on the driver — parallelizing it avoids re-running the
+        // upstream edge plan and the roots-distinct exchange; max emitted
+        // depth mirrors the loop (initial frontier at depth 1 + maxIter
+        // expansions)
+        val keys: Array[Any] = adj.keySet.toArray.asInstanceOf[Array[AnyRef]]
+          .map(identity[Any])
         localBfsFrame(spark.sparkContext.broadcast(adj),
-          pe.select(col("child")), maxDepth = maxIter + 1, guardDepth = false,
+          spark.sparkContext.parallelize(keys.toIndexedSeq,
+            math.max(1, math.min(spark.sparkContext.defaultParallelism,
+              1 + keys.length / 4096))),
+          maxDepth = maxIter + 1, guardDepth = false,
           schema, emitDist = false)
       case None =>
         val e = pe.localCheckpoint()
@@ -189,13 +200,19 @@ object Graph {
                   edgeCap: Long = BroadcastEdgeCap)
                  (implicit spark: SparkSession): DataFrame = {
     val pe = edges.select(col("child"), col("parent"))
-    collectAdjacency(pe, keyIdx = 1, valIdx = 0, edgeCap) match {
+    // local path only when the roots column has exactly the edge-endpoint
+    // type: the loop's `===` join inserts implicit numeric promotions a
+    // boxed-value hash probe cannot reproduce, so mixed-type calls keep
+    // the loop semantics
+    val r = roots.select(col("root"))
+    val cap = if (r.schema(0).dataType == pe.schema(1).dataType) edgeCap else 0L
+    collectAdjacency(pe, keyIdx = 1, valIdx = 0, cap) match {
       case Some(adj) =>
-        val r = roots.select(col("root"))
         val schema = StructType(Seq(
           StructField("root", r.schema(0).dataType),
           StructField("descendant", pe.schema(0).dataType)))
-        localBfsFrame(spark.sparkContext.broadcast(adj), r,
+        localBfsFrame(spark.sparkContext.broadcast(adj),
+          r.distinct().rdd.map(_.get(0)),
           maxDepth = maxIter + 1, guardDepth = false, schema, emitDist = false)
       case None =>
         val e = pe.localCheckpoint()
@@ -250,14 +267,17 @@ object Graph {
                            truncateOk: Boolean, edgeCap: Long)
                           (implicit spark: SparkSession): DataFrame = {
     val pe = edges.select(col("child"), col("parent"))
-    collectAdjacency(pe, keyIdx = 1, valIdx = 0, edgeCap) match {
+    // same root/endpoint type-parity gate as `descendants`
+    val r = roots.select(col("root"))
+    val cap = if (r.schema(0).dataType == pe.schema(1).dataType) edgeCap else 0L
+    collectAdjacency(pe, keyIdx = 1, valIdx = 0, cap) match {
       case Some(adj) =>
-        val r = roots.select(col("root"))
         val schema = StructType(Seq(
           StructField("root", r.schema(0).dataType),
           StructField("node", pe.schema(0).dataType),
           StructField("dist", IntegerType, nullable = false)))
-        localBfsFrame(spark.sparkContext.broadcast(adj), r,
+        localBfsFrame(spark.sparkContext.broadcast(adj),
+          r.distinct().rdd.map(_.get(0)),
           maxDepth = maxDist, guardDepth = !truncateOk, schema, emitDist = true)
       case None =>
         val e = pe.localCheckpoint()

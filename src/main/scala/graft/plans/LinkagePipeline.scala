@@ -42,7 +42,12 @@ object LinkagePipeline {
       * the repeated-sample bench protocol at ladder scale). */
     def release(): Unit = persisted.foreach { df =>
       df.unpersist()
-      df.queryExecution.analyzed.foreach {
+      // only the frame's OWN root checkpoint is freed — walking the whole
+      // lineage would also unpersist LogicalRDD leaves the Result does not
+      // own (e.g. a caller-provided checkpointed mentions frame reachable
+      // through scored's plan); every checkpoint run() creates is tracked
+      // individually in `persisted`, so root-only covers them all
+      df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(false)
         case _ => ()

@@ -151,6 +151,7 @@ class DictTrainGreedySpec extends AnyFunSuite with SparkTestBase {
     val (docsSeq, goldsSeq) = Synth.corpus(n, nConcepts)
     val docs = spark.createDataset(docsSeq)
     val golds = spark.createDataset(goldsSeq)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val (lc, uc) = DictTrain.trainDictionarySplit(
       docs, golds,
       spark.createDataset(Synth.concepts(nConcepts)),
@@ -163,5 +164,12 @@ class DictTrainGreedySpec extends AnyFunSuite with SparkTestBase {
       pred.select(col("doc_id"), col("start"), col("end"), col("concept_id")),
       golds.toDF())
     assert(iou >= 0.85, s"trained-dict macro IoU $iou below 0.85")
+    // no-leak contract: training's lazily-checkpointed intermediates
+    // (mentions/harvested/ucNorms/scored/expanded/core/full) must have
+    // been freed once the output dicts materialized — after releasing the
+    // two output dicts, training must leave NOTHING newly cached behind
+    lc.unpersist(); uc.unpersist()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"training leaked cached/checkpointed RDDs: $leaked")
   }
 }
